@@ -1,0 +1,46 @@
+"""Helpers for parity tests against the mounted read-only reference checkout.
+
+The reference's vendored pythae fork imports torch + pydantic (available) but
+also `sklearn_extra` (not installed); we stub it before adding the vendored
+tree to sys.path.  All use is read-only and behind `reference_available`.
+"""
+
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+PYTHAE_PATH = f"{REFERENCE_ROOT}/src/lib/src"
+
+
+def import_pythae():
+    """Make the reference's vendored pythae importable; returns the module."""
+    for name in ("sklearn_extra", "sklearn_extra.cluster"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    if not hasattr(sys.modules["sklearn_extra.cluster"], "KMedoids"):
+        sys.modules["sklearn_extra.cluster"].KMedoids = object
+    if PYTHAE_PATH not in sys.path:
+        sys.path.insert(0, PYTHAE_PATH)
+    import pythae  # noqa: F401
+
+    return pythae
+
+
+class TorchMetricModel:
+    """Minimal stand-in exposing the attributes pythae's metric closures read
+    (M_tens, centroids_tens, temperature, lbd, latent_dim)."""
+
+    def __init__(self, centroids, matrices, temperature, lbd):
+        import numpy as np
+        import torch
+
+        self.centroids_tens = torch.as_tensor(np.array(centroids))
+        self.M_tens = torch.as_tensor(np.array(matrices))
+        self.temperature = torch.as_tensor(float(temperature))
+        self.lbd = torch.as_tensor(float(lbd))
+        self.latent_dim = self.centroids_tens.shape[1]
+
+        from pythae.models.rhvae.rhvae_utils import create_inverse_metric, create_metric
+
+        self.G = create_metric(self)
+        self.G_inv = create_inverse_metric(self)
