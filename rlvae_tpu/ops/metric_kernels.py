@@ -1,0 +1,330 @@
+"""Fused Pallas TPU kernels for the centroid-metric pipeline.
+
+One kernel evaluates, per batch tile, the full chain the reference spreads
+over many torch calls (reference: src/models/components/metric_tensor.py:98-182
+and pythae rhvae_sampler.py:158-187):
+
+    d2 -> w = exp(-d2/T^2) -> G^{-1} = w @ M + lbd I -> L = chol(G^{-1})
+       -> logdet -> X = L^{-1} -> G = X^T X  [-> HMC grad / log-density]
+
+Why a kernel at all: XLA runs this as ~10 small kernels with a ~270us
+dispatch floor on the axon runtime, and the D=16 linear algebra tiles
+terribly batch-first (16 of 128 lanes used).  The kernel keeps every
+intermediate in VMEM in a *batch-last slab layout*: matrices live as D
+column-slabs of shape [D, TB] so each Cholesky / substitution step is a
+full-width VPU op over the batch, and the weighted sum of metric matrices is
+a single [D^2, K] @ [K, TB] MXU matmul.
+
+Data layout contract (see `_flat` helpers): flattened matrices are stored
+column-major ("j-major"): row j*D+i holds A[i, j].  Symmetric outputs
+(G^{-1}, G) are bitwise symmetric so the wrapper reshapes them directly;
+the Cholesky factor is materialized j-major and transposed in the wrapper.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rlvae_tpu.geometry.metric import CentroidMetric
+from rlvae_tpu.utils.output import ModelOutput
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# In-kernel building blocks (operate on lists of [D, TB] column slabs)
+# ---------------------------------------------------------------------------
+
+
+def _weights_slab(z_ref, c_ref, inv_t2, d: int, k_real: int, k_pad: int, tb: int):
+    """w_t [K_pad, TB] with padded-centroid columns masked to zero."""
+    d2 = jnp.zeros((k_pad, tb), jnp.float32)
+    for i in range(d):
+        zi = z_ref[i, :].reshape(1, tb)  # [1, TB]
+        ci = c_ref[i, :].reshape(k_pad, 1)  # [K, 1]
+        diff = ci - zi
+        d2 = d2 + diff * diff
+    w = jnp.exp(-d2 * inv_t2)
+    if k_pad != k_real:
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (k_pad, tb), 0)
+        w = jnp.where(k_idx < k_real, w, 0.0)
+    return w
+
+
+def _gi_cols(m_ref, w, lbd, d: int, tb: int):
+    """G^{-1} column slabs from the MXU matmul [D^2, K] @ [K, TB] + lbd I."""
+    gi_flat = jax.lax.dot_general(
+        m_ref[...],
+        w,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # full-f32 MXU passes: default (bf16 inputs) costs ~0.4% error, far
+        # above the parity gates (same reasoning as geometry.metric.g_inv)
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [D^2, TB], j-major rows
+    row = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)
+    cols = []
+    for j in range(d):
+        slab = gi_flat[j * d : (j + 1) * d, :]
+        cols.append(jnp.where(row == j, slab + lbd, slab))
+    return cols
+
+
+def _chol_cols(gi_cols, d: int):
+    """Unrolled Cholesky over column slabs: L[:, j] as [D, TB]."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)
+    l_cols = []
+    for j in range(d):
+        v = gi_cols[j]
+        for k in range(j):
+            v = v - l_cols[k] * l_cols[k][j : j + 1, :]
+        ljj = jnp.sqrt(v[j : j + 1, :])
+        col = jnp.where(row >= j, v / ljj, 0.0)
+        l_cols.append(col)
+    return l_cols
+
+
+def _inv_rows_from_chol(l_cols, d: int):
+    """X = L^{-1} as row slabs x_rows[i][j] = X[i, j], each [D, TB]."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)
+    x_rows = []
+    for i in range(d):
+        v = jnp.where(col == i, 1.0, 0.0)  # e_i over the j index
+        v = jnp.broadcast_to(v, l_cols[0].shape)
+        for k in range(i):
+            v = v - l_cols[k][i : i + 1, :] * x_rows[k]
+        x_rows.append(v / l_cols[i][i : i + 1, :])
+    return x_rows
+
+
+def _g_cols_from_inv_rows(x_rows, d: int):
+    """G = X^T X as column slabs: g_cols[j][i] = sum_k X[k,i] X[k,j]."""
+    g_cols = []
+    for j in range(d):
+        acc = None
+        for k in range(j, d):  # X strictly lower-triangular support: k >= j
+            term = x_rows[k] * x_rows[k][j : j + 1, :]
+            acc = term if acc is None else acc + term
+        g_cols.append(acc)
+    return g_cols
+
+
+def _stack_cols(cols):
+    return jnp.concatenate(cols, axis=0)  # [D^2, TB], j-major
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _g_inv_kernel(scal_ref, z_ref, c_ref, m_ref, out_ref, *, d, k_real, k_pad, tb):
+    inv_t2, lbd = scal_ref[0, 0], scal_ref[0, 1]
+    w = _weights_slab(z_ref, c_ref, inv_t2, d, k_real, k_pad, tb)
+    gi = _stack_cols(_gi_cols(m_ref, w, lbd, d, tb))
+    out_ref[...] = gi.T  # [TB, D^2]
+
+
+def _bundle_kernel(
+    scal_ref, z_ref, c_ref, m_ref, gi_ref, l_ref, ld_ref, g_ref, *, d, k_real, k_pad, tb
+):
+    inv_t2, lbd = scal_ref[0, 0], scal_ref[0, 1]
+    w = _weights_slab(z_ref, c_ref, inv_t2, d, k_real, k_pad, tb)
+    gi_cols = _gi_cols(m_ref, w, lbd, d, tb)
+    gi_ref[...] = _stack_cols(gi_cols).T
+
+    l_cols = _chol_cols(gi_cols, d)
+    l_ref[...] = _stack_cols(l_cols).T
+
+    log_diag = sum(jnp.log(l_cols[j][j : j + 1, :]) for j in range(d))  # [1, TB]
+    ld_ref[...] = 2.0 * log_diag.T  # logdet G^{-1}, [TB, 1]
+
+    x_rows = _inv_rows_from_chol(l_cols, d)
+    g_cols = _g_cols_from_inv_rows(x_rows, d)
+    g_ref[...] = _stack_cols(g_cols).T
+
+
+def _hmc_kernel(
+    scal_ref, z_ref, c_ref, m_ref, m2_ref, logpi_ref, grad_ref, *, d, k_real, k_pad, tb
+):
+    """HMC target log-density + pythae-form analytic gradient, fully fused.
+
+    logpi = logaddexp(log sqrt det G^{-1}, log eps)      (rhvae_sampler.py:158)
+    grad  = -0.5 G^T v,  v[j] = (-2/T^2) sum_k w_k sum_i (c-z)[i,k] M_k[i,j]
+                                                         (rhvae_sampler.py:163-187)
+    The inner contraction is evaluated as D matmuls over the weighted diffs
+    (never as the cancellation-prone difference of two large sums — z sits
+    near the centroids, so sum(w c M) - sum(w z M) would eat the signal).
+    """
+    inv_t2, lbd, log_eps = scal_ref[0, 0], scal_ref[0, 1], scal_ref[0, 2]
+    w = _weights_slab(z_ref, c_ref, inv_t2, d, k_real, k_pad, tb)
+    gi_cols = _gi_cols(m_ref, w, lbd, d, tb)
+    l_cols = _chol_cols(gi_cols, d)
+
+    log_diag = sum(jnp.log(l_cols[j][j : j + 1, :]) for j in range(d))  # [1, TB]
+    logpi_ref[...] = jnp.logaddexp(log_diag, log_eps).T  # [TB, 1]
+
+    x_rows = _inv_rows_from_chol(l_cols, d)
+    g_cols = _g_cols_from_inv_rows(x_rows, d)
+
+    # v[j, b] = sum_i sum_k (c[i,k]-z[i,b]) w[k,b] M_k[i,j]
+    v = jnp.zeros((d, tb), jnp.float32)
+    for i in range(d):
+        wd = w * (c_ref[i, :].reshape(k_pad, 1) - z_ref[i, :].reshape(1, tb))  # [K, TB]
+        m_i = m2_ref[i * d : (i + 1) * d, :]  # [D(j), K], i-major rows
+        v = v + jax.lax.dot_general(
+            m_i,
+            wd,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    v = (-2.0 * inv_t2) * v
+    grad = jnp.zeros((d, tb), jnp.float32)
+    for j in range(d):
+        grad = grad + g_cols[j] * v[j : j + 1, :]
+    grad_ref[...] = (-0.5 * grad).T  # [TB, D]
+
+
+# ---------------------------------------------------------------------------
+# Python wrappers
+# ---------------------------------------------------------------------------
+
+
+def _prep(metric: CentroidMetric, z: jax.Array, tb: int | None):
+    b, d = z.shape
+    k = metric.n_centroids
+    k_pad = _ceil_to(k, 128)
+    if tb is None:
+        tb = 128 if b <= 128 else 256
+    b_pad = _ceil_to(b, tb)
+    z_t = jnp.pad(z.astype(jnp.float32), ((0, b_pad - b), (0, 0))).T  # [D, B_pad]
+    c_t = jnp.pad(metric.centroids, ((0, k_pad - k), (0, 0))).T  # [D, K_pad]
+    # j-major flattened matrices: row j*D+i = M[:, i, j]
+    m_t = jnp.pad(
+        metric.matrices.transpose(2, 1, 0).reshape(d * d, k), ((0, 0), (0, k_pad - k))
+    )  # [D^2, K_pad]
+    return b, d, k, k_pad, tb, b_pad, z_t, c_t, m_t
+
+
+def _scalars(metric: CentroidMetric, extra=()):
+    vals = [1.0 / metric.temperature**2, metric.regularization, *extra]
+    return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals]).reshape(1, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "interpret"))
+def g_inv_pallas(
+    metric: CentroidMetric, z: jax.Array, tb: int | None = None, interpret: bool | None = None
+) -> jax.Array:
+    """Fused G^{-1}(z) -> [B, D, D]."""
+    b, d, k, k_pad, tb, b_pad, z_t, c_t, m_t = _prep(metric, z, tb)
+    interp = (not _on_tpu()) if interpret is None else interpret
+    out = pl.pallas_call(
+        functools.partial(_g_inv_kernel, d=d, k_real=k, k_pad=k_pad, tb=tb),
+        grid=(b_pad // tb,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((d, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, d * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
+        interpret=interp,
+    )(_scalars(metric), z_t, c_t, m_t)
+    return out[:b].reshape(b, d, d)  # j-major == i-major: G^{-1} is symmetric
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "interpret"))
+def metric_bundle_pallas(
+    metric: CentroidMetric, z: jax.Array, tb: int | None = None, interpret: bool | None = None
+) -> ModelOutput:
+    """Fused (G^{-1}, chol(G^{-1}), logdet G^{-1}, G) in one kernel."""
+    b, d, k, k_pad, tb, b_pad, z_t, c_t, m_t = _prep(metric, z, tb)
+    interp = (not _on_tpu()) if interpret is None else interpret
+    gi, l_jm, ld, gm = pl.pallas_call(
+        functools.partial(_bundle_kernel, d=d, k_real=k, k_pad=k_pad, tb=tb),
+        grid=(b_pad // tb,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((d, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, d * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, d * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, d * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
+        ],
+        interpret=interp,
+    )(_scalars(metric), z_t, c_t, m_t)
+    chol = jnp.swapaxes(l_jm[:b].reshape(b, d, d), -1, -2)  # j-major -> lower-tri
+    return ModelOutput(
+        g_inv=gi[:b].reshape(b, d, d),
+        chol_g_inv=chol,
+        logdet_g_inv=ld[:b, 0],
+        g=gm[:b].reshape(b, d, d),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "tb", "interpret"))
+def hmc_terms_pallas(
+    metric: CentroidMetric,
+    z: jax.Array,
+    eps: float = 1e-10,
+    tb: int | None = None,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """(log pi(z), grad log pi(z)) for the manifold HMC sampler, one kernel.
+
+    Matches pythae's target and closed-form gradient exactly
+    (reference: pythae rhvae_sampler.py:158-187); see
+    rlvae_tpu.geometry.metric.grad_log_sqrt_det_g_inv for the math note.
+    """
+    b, d, k, k_pad, tb, b_pad, z_t, c_t, m_t = _prep(metric, z, tb)
+    interp = (not _on_tpu()) if interpret is None else interpret
+    # i-major flattened matrices: row i*D+j = M[:, i, j]
+    m_t2 = jnp.pad(
+        metric.matrices.transpose(1, 2, 0).reshape(d * d, k), ((0, 0), (0, k_pad - k))
+    )
+    logpi, grad = pl.pallas_call(
+        functools.partial(_hmc_kernel, d=d, k_real=k, k_pad=k_pad, tb=tb),
+        grid=(b_pad // tb,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((d, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, d), jnp.float32),
+        ],
+        interpret=interp,
+    )(_scalars(metric, extra=(math.log(eps),)), z_t, c_t, m_t, m_t2)
+    return logpi[:b, 0], grad[:b]

@@ -1,0 +1,103 @@
+"""Parity tests for the fused Pallas metric kernels (interpret mode on CPU).
+
+Each kernel must reproduce the XLA reference implementations in
+rlvae_tpu.geometry.metric, which are themselves parity-tested against the
+torch reference (see test_metric.py) — transitively anchoring the kernels to
+the reference formulas.
+"""
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rlvae_tpu.geometry import (
+    chol_g_inv,
+    g,
+    g_inv,
+    grad_log_sqrt_det_g_inv,
+    load_metric,
+    log_sqrt_det_g_inv,
+    logdet_g_inv,
+)
+from rlvae_tpu.geometry.metric import CentroidMetric
+from rlvae_tpu.ops.metric_kernels import (
+    g_inv_pallas,
+    hmc_terms_pallas,
+    metric_bundle_pallas,
+)
+
+DATA = Path(__file__).resolve().parents[1] / "data" / "pretrained"
+
+
+@pytest.fixture(scope="module", params=["metric.npz", "metric_T0.7_scaled.npz"])
+def metric_and_z(request):
+    metric = load_metric(DATA / request.param)
+    rng = np.random.default_rng(1)
+    # deliberately unaligned batch to exercise padding
+    b = 37
+    idx = rng.integers(0, metric.n_centroids, size=b)
+    z = np.asarray(metric.centroids)[idx] + 0.1 * rng.normal(size=(b, metric.latent_dim))
+    return metric, jnp.asarray(z, jnp.float32)
+
+
+def test_g_inv_kernel(metric_and_z):
+    metric, z = metric_and_z
+    np.testing.assert_allclose(
+        np.asarray(g_inv_pallas(metric, z, interpret=True)),
+        np.asarray(g_inv(metric, z)),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_bundle_kernel(metric_and_z):
+    metric, z = metric_and_z
+    out = metric_bundle_pallas(metric, z, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out.g_inv), np.asarray(g_inv(metric, z)), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.chol_g_inv),
+        np.asarray(chol_g_inv(metric, z, jitter=0.0)),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.logdet_g_inv), np.asarray(logdet_g_inv(metric, z)), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.g), np.asarray(g(metric, z)), rtol=1e-3, atol=1e-3
+    )
+    # chol output is genuinely lower-triangular
+    l = np.asarray(out.chol_g_inv)
+    assert np.allclose(np.triu(l, k=1), 0.0)
+
+
+def test_hmc_kernel(metric_and_z):
+    metric, z = metric_and_z
+    logpi, grad = hmc_terms_pallas(metric, z, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(logpi), np.asarray(log_sqrt_det_g_inv(metric, z)), rtol=1e-4, atol=1e-4
+    )
+    grad_ref = np.asarray(grad_log_sqrt_det_g_inv(metric, z))
+    np.testing.assert_allclose(np.asarray(grad), grad_ref, rtol=1e-2, atol=5e-5)
+
+
+def test_other_latent_dim():
+    # D=8 exercises non-default slab shapes
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(5, 8, 8))
+    mats = (a @ np.swapaxes(a, 1, 2) + 0.5 * np.eye(8)).astype(np.float32)
+    metric = CentroidMetric.create(
+        rng.normal(size=(5, 8)).astype(np.float32), mats, temperature=1.0, regularization=0.1
+    )
+    z = jnp.asarray(rng.normal(size=(9, 8)), jnp.float32)
+    out = metric_bundle_pallas(metric, z, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out.g_inv), np.asarray(g_inv(metric, z)), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.g), np.asarray(g(metric, z)), rtol=1e-3, atol=1e-3
+    )
