@@ -1,0 +1,80 @@
+"""Temporal flow chain: one IAF per timestep transition.
+
+Replaces the reference FlowManager (reference:
+src/models/components/flow_manager.py:13-115): given z_0 and n_obs, flow
+t-1 maps z_{t-1} -> z_t, accumulating per-step log|det J|; if fewer flows
+than transitions exist, the last flow is reused (flow_manager.py:49-55).
+
+The chain is a compile-time Python loop (n_obs is static — T=8), each step an
+``iaf_forward`` (itself a ``lax.scan`` over dims); everything stays inside a
+single jit program.  Returns stacked [B, T, D] latents instead of the
+reference's Python lists.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rlvae_tpu.flows.iaf import iaf_forward, iaf_masks, init_iaf
+
+
+class TemporalFlowConfig:
+    """Static configuration (masks included) for the temporal chain."""
+
+    def __init__(
+        self,
+        latent_dim: int,
+        n_flows: int = 8,
+        hidden_size: int = 256,
+        n_blocks: int = 2,
+        n_hidden: int = 3,
+    ):
+        self.latent_dim = latent_dim
+        self.n_flows = n_flows
+        self.hidden_size = hidden_size
+        self.n_blocks = n_blocks
+        self.n_hidden = n_hidden
+        self.masks = iaf_masks(latent_dim, hidden_size, n_hidden) if n_flows > 0 else []
+
+    def init(self, key: jax.Array) -> List[List[Dict[str, jax.Array]]]:
+        """One IAF (list of MADE-block params) per flow."""
+        keys = jax.random.split(key, max(self.n_flows, 1))
+        return [
+            init_iaf(
+                keys[i], self.latent_dim, self.hidden_size, self.n_blocks, self.n_hidden
+            )
+            for i in range(self.n_flows)
+        ]
+
+
+def apply_temporal_flows(
+    config: TemporalFlowConfig,
+    flows: List[List[Dict[str, jax.Array]]],
+    z0: jax.Array,
+    n_obs: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Evolve z0 through time.
+
+    Returns:
+        z_seq: [B, n_obs, D] (z_seq[:, 0] == z0)
+        log_dets: [B, n_obs - 1] per-transition log|det J|
+    """
+    zs = [z0]
+    lds = []
+    for t in range(1, n_obs):
+        idx = min(t - 1, len(flows) - 1)  # reuse last flow beyond n_flows
+        z_t, ld = iaf_forward(flows[idx], config.masks, zs[-1])
+        zs.append(z_t)
+        lds.append(ld)
+    z_seq = jnp.stack(zs, axis=1)
+    log_dets = (
+        jnp.stack(lds, axis=1) if lds else jnp.zeros((z0.shape[0], 0), z0.dtype)
+    )
+    return z_seq, log_dets
+
+
+def count_params(flows: List[List[Dict[str, jax.Array]]]) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(flows))

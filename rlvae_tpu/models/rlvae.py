@@ -1,0 +1,304 @@
+"""RlVAE — the single configurable Riemannian Flow VAE model family.
+
+One class covers the reference's four model variants (reference:
+src/models/riemannian_flow_vae.py:788-1395 monolith,
+src/models/modular_rlvae.py:30-596 modular, src/models/hybrid_rlvae.py:30-399
+hybrid, and the vanilla-VAE degenerate configuration): capabilities are
+explicit static config resolved before jit — no runtime hasattr probing.
+
+Forward pass (reference call stack: riemannian_flow_vae.py:1093-1246):
+encode frame 0 -> posterior sample (gaussian / iaf / riemannian_metric, or a
+Riemannian sampling method) -> temporal IAF evolution of z_0 ->
+open/closed-loop handling -> decode all frames as one fused [B*T] batch ->
+reconstruction + KL + flow + loop losses.
+
+The model object is NOT a pytree: it holds static structure (flax modules,
+flow masks, the metric buffer, config flags).  All learnable state lives in
+the ``variables`` dict threaded through ``forward``; ``forward`` is pure and
+jit-safe with a static ``train`` flag.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlvae_tpu.flows import TemporalFlowConfig, apply_temporal_flows
+from rlvae_tpu.geometry import load_metric
+from rlvae_tpu.geometry.metric import CentroidMetric
+from rlvae_tpu.models import losses
+from rlvae_tpu.nets import create_decoder, create_encoder
+from rlvae_tpu.samplers import (
+    HMCConfig,
+    reparam,
+    sample_metric_aware_posterior,
+    sample_posterior,
+    sample_prior,
+    sample_prior_hmc,
+)
+from rlvae_tpu.utils.output import ModelOutput
+
+Array = jax.Array
+
+POSTERIOR_TYPES = ("gaussian", "iaf", "riemannian_metric")
+LOOP_MODES = ("open", "closed")
+
+
+class RlVAE:
+    """Riemannian Flow VAE over cyclic longitudinal sequences."""
+
+    def __init__(
+        self,
+        input_dim: Tuple[int, ...] = (3, 64, 64),
+        latent_dim: int = 16,
+        n_flows: int = 8,
+        flow_hidden_size: int = 256,
+        flow_n_blocks: int = 2,
+        flow_n_hidden: int = 3,
+        beta: float = 1.0,
+        riemannian_beta: float = 8.0,
+        posterior_type: str = "riemannian_metric",
+        sampling_method: str = "geodesic",
+        use_riemannian: bool = True,
+        loop_mode: str = "open",
+        loop_penalty: float = 5.0,
+        encoder_config: Optional[Mapping[str, Any]] = None,
+        decoder_config: Optional[Mapping[str, Any]] = None,
+        metric: Optional[CentroidMetric] = None,
+        name: str = "rlvae",
+    ):
+        if posterior_type not in POSTERIOR_TYPES:
+            raise ValueError(f"posterior_type must be one of {POSTERIOR_TYPES}")
+        if loop_mode not in LOOP_MODES:
+            raise ValueError(f"loop_mode must be one of {LOOP_MODES}")
+        self.input_dim = tuple(input_dim)
+        self.latent_dim = latent_dim
+        self.n_flows = n_flows
+        self.beta = float(beta)
+        self.riemannian_beta = float(riemannian_beta)
+        self.posterior_type = posterior_type
+        self.sampling_method = sampling_method
+        self.use_riemannian = bool(use_riemannian)
+        self.loop_mode = loop_mode
+        self.loop_lambda = float(loop_penalty)
+        self.name = name
+
+        self.encoder = create_encoder(self.input_dim, latent_dim, encoder_config)
+        self.decoder = create_decoder(self.input_dim, latent_dim, decoder_config)
+        self.flow_config = TemporalFlowConfig(
+            latent_dim, n_flows, flow_hidden_size, flow_n_blocks, flow_n_hidden
+        )
+        self.metric = metric
+
+    # -- state ---------------------------------------------------------------
+
+    def init(self, key: Array, n_obs: int = 8, batch_size: int = 2) -> Dict[str, Any]:
+        """Initialize all learnable state."""
+        k_enc, k_dec, k_flows = jax.random.split(key, 3)
+        x0 = jnp.zeros((batch_size, *self.input_dim), jnp.float32)
+        z0 = jnp.zeros((batch_size, self.latent_dim), jnp.float32)
+        enc_vars = self.encoder.init(k_enc, x0)
+        dec_vars = self.decoder.init(k_dec, z0)
+        return {
+            "encoder": dict(enc_vars),
+            "decoder": dict(dec_vars),
+            "flows": self.flow_config.init(k_flows) if self.n_flows > 0 else [],
+        }
+
+    def load_pretrained_metric(
+        self,
+        path: str,
+        temperature_override: Optional[float] = None,
+        regularization_override: Optional[float] = None,
+    ) -> None:
+        """Attach a pretrained centroid metric (reference:
+        riemannian_flow_vae.py:869-919 load_pretrained_metrics)."""
+        self.metric = load_metric(
+            path,
+            temperature_override=temperature_override,
+            regularization_override=regularization_override,
+        )
+
+    # -- forward -------------------------------------------------------------
+
+    def encode(self, variables: Dict[str, Any], x0: Array, train: bool = False):
+        kwargs = {}
+        if "batch_stats" in variables["encoder"]:
+            kwargs["train"] = train
+        out = self.encoder.apply(
+            variables["encoder"],
+            x0,
+            deterministic=not train,
+            mutable=["batch_stats"] if (train and "batch_stats" in variables["encoder"]) else False,
+            **kwargs,
+        )
+        if isinstance(out, tuple):
+            return out  # (ModelOutput, mutated)
+        return out, {}
+
+    def decode(self, variables: Dict[str, Any], z: Array, train: bool = False):
+        kwargs = {}
+        if "batch_stats" in variables["decoder"]:
+            kwargs["train"] = train
+        out = self.decoder.apply(
+            variables["decoder"],
+            z,
+            deterministic=not train,
+            mutable=["batch_stats"] if (train and "batch_stats" in variables["decoder"]) else False,
+            **kwargs,
+        )
+        if isinstance(out, tuple):
+            return out
+        return out, {}
+
+    def sample_z0(self, key: Array, mu: Array, log_var: Array) -> Array:
+        """Posterior sampling switch (reference: riemannian_flow_vae.py:1111-1161)."""
+        if self.posterior_type == "riemannian_metric":
+            if self.metric is None:
+                return reparam(key, mu, log_var)
+            return sample_metric_aware_posterior(self.metric, key, mu, log_var)
+        # "iaf" posterior is a declared-but-stubbed option in the reference
+        # (riemannian_flow_vae.py:1113-1120) -> gaussian
+        if self.use_riemannian and self.metric is not None:
+            return sample_posterior(self.metric, key, mu, log_var, self.sampling_method)
+        return reparam(key, mu, log_var)
+
+    def forward(
+        self,
+        variables: Dict[str, Any],
+        x: Array,
+        key: Array,
+        train: bool = False,
+        compute_metrics: bool = False,
+    ) -> ModelOutput:
+        """Full forward pass with losses. Pure; jit with static train flag."""
+        batch_size, n_obs = x.shape[0], x.shape[1]
+        k_sample, k_drop = jax.random.split(key)
+
+        x0 = x[:, 0]
+        enc_out, enc_updates = self.encode(variables, x0, train=train)
+        mu, log_var = enc_out.embedding, enc_out.log_covariance
+
+        z0 = self.sample_z0(k_sample, mu, log_var)
+
+        if self.n_flows > 0:
+            z_seq, log_dets = apply_temporal_flows(
+                self.flow_config, variables["flows"], z0, n_obs
+            )
+        else:
+            z_seq = jnp.repeat(z0[:, None, :], n_obs, axis=1)
+            log_dets = jnp.zeros((batch_size, 0), z0.dtype)
+
+        z_last_raw = z_seq[:, -1]
+        if self.loop_mode == "closed":
+            z_seq = z_seq.at[:, -1].set(z_seq[:, 0])
+
+        z_flat = z_seq.reshape(batch_size * n_obs, self.latent_dim)
+        dec_out, dec_updates = self.decode(variables, z_flat, train=train)
+        recon = dec_out.reconstruction.reshape(batch_size, n_obs, *self.input_dim)
+
+        recon_loss = losses.reconstruction_loss(recon, x, self.loop_mode)
+
+        if self.posterior_type == "riemannian_metric" and self.metric is not None:
+            kl = losses.riemannian_metric_kl(self.metric, mu, z0)
+            kl_weight = self.riemannian_beta
+        else:
+            kl = losses.standard_kl(mu, log_var)
+            kl_weight = self.beta
+
+        flow = losses.flow_loss(log_dets)
+        loop = (
+            losses.loop_penalty(z_last_raw, z_seq[:, 0])
+            if self.loop_mode == "closed"
+            else jnp.zeros(())
+        )
+        total = losses.total_loss(recon_loss, kl, flow, loop, kl_weight, self.loop_lambda)
+
+        out = ModelOutput(
+            recon_x=recon,
+            z=z_seq,
+            mu=mu,
+            log_var=log_var,
+            loss=total,
+            recon_loss=recon_loss,
+            kld_loss=kl,
+            flow_loss=flow,
+            loop_penalty=loop,
+        )
+        if enc_updates or dec_updates:
+            out["state_updates"] = {"encoder": enc_updates, "decoder": dec_updates}
+        if compute_metrics:
+            out["metrics"] = losses.additional_metrics(
+                x, recon, z_seq, self.metric if self.use_riemannian else None
+            )
+        return out
+
+    __call__ = forward
+
+    # -- generation ----------------------------------------------------------
+
+    def sample_riemannian_prior(
+        self, key: Array, num_samples: int, method: str = "geodesic"
+    ) -> Array:
+        """Latent prior sampling (reference: riemannian_flow_vae.py:1312-1326);
+        method 'hmc'/'official' runs the full manifold HMC chain."""
+        if method in ("hmc", "official") and self.metric is not None:
+            cfg = HMCConfig(init="centroids" if method == "official" else "randn")
+            return sample_prior_hmc(self.metric, key, num_samples, cfg)
+        return sample_prior(self.metric, key, num_samples, self.latent_dim, method)
+
+    def generate(
+        self,
+        variables: Dict[str, Any],
+        key: Array,
+        num_samples: int,
+        n_obs: int = 8,
+        method: str = "geodesic",
+    ) -> Array:
+        """Sample prior latents, evolve through time, decode to sequences."""
+        z0 = self.sample_riemannian_prior(key, num_samples, method)
+        if self.n_flows > 0:
+            z_seq, _ = apply_temporal_flows(self.flow_config, variables["flows"], z0, n_obs)
+        else:
+            z_seq = jnp.repeat(z0[:, None, :], n_obs, axis=1)
+        dec_out, _ = self.decode(variables, z_seq.reshape(-1, self.latent_dim))
+        return dec_out.reconstruction.reshape(num_samples, n_obs, *self.input_dim)
+
+    # -- introspection -------------------------------------------------------
+
+    def param_count(self, variables: Dict[str, Any]) -> int:
+        return sum(a.size for a in jax.tree_util.tree_leaves(variables))
+
+    def get_model_summary(self, variables: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        """Model summary (reference: modular_rlvae.py:459-520)."""
+        summary = {
+            "model_name": self.name,
+            "architecture": {
+                "latent_dim": self.latent_dim,
+                "n_flows": self.n_flows,
+                "input_dim": list(self.input_dim),
+                "encoder": type(self.encoder).__name__,
+                "decoder": type(self.decoder).__name__,
+            },
+            "configuration": {
+                "posterior_type": self.posterior_type,
+                "sampling_method": self.sampling_method,
+                "use_riemannian": self.use_riemannian,
+                "loop_mode": self.loop_mode,
+                "beta": self.beta,
+                "riemannian_beta": self.riemannian_beta,
+            },
+            "metric": None
+            if self.metric is None
+            else {
+                "n_centroids": self.metric.n_centroids,
+                "temperature": float(self.metric.temperature),
+                "regularization": float(self.metric.regularization),
+            },
+        }
+        if variables is not None:
+            summary["parameter_count"] = int(self.param_count(variables))
+        return summary

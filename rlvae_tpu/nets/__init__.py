@@ -1,0 +1,15 @@
+from rlvae_tpu.nets.cnn import CNNDecoder, CNNEncoder
+from rlvae_tpu.nets.mlp import MLPDecoder, MLPEncoder
+from rlvae_tpu.nets.registry import create_decoder, create_encoder
+from rlvae_tpu.nets.resnet import ResNetDecoder, ResNetEncoder
+
+__all__ = [
+    "MLPEncoder",
+    "MLPDecoder",
+    "CNNEncoder",
+    "CNNDecoder",
+    "ResNetEncoder",
+    "ResNetDecoder",
+    "create_encoder",
+    "create_decoder",
+]

@@ -1,0 +1,64 @@
+"""MLP encoder/decoder — the default architectures.
+
+Flax reimplementation of the reference defaults the pretrained checkpoints
+assume (reference: pythae models/nn/default_architectures.py:60-116 for
+Encoder_VAE_MLP — flatten -> 512 -> ReLU -> {embedding, log_covariance}
+heads — and :168-221 for Decoder_AE_MLP — latent -> 512 -> ReLU ->
+prod(input_dim) -> Sigmoid).
+
+``hidden_dims`` generalizes to deep MLPs with dropout (the reference's
+mlp_rlvae config *declares* [1024, 512, 256] but its Encoder_VAE_MLP
+silently ignores it — here the config actually takes effect).  The default
+``hidden_dims=(512,)`` reproduces the reference shapes exactly so converted
+torch checkpoints load.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from rlvae_tpu.utils.output import ModelOutput
+
+
+class MLPEncoder(nn.Module):
+    input_dim: Tuple[int, ...]  # (C, H, W)
+    latent_dim: int
+    hidden_dims: Sequence[int] = (512,)
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16  # activations; params stay fp32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> ModelOutput:
+        out = x.reshape(x.shape[0], -1).astype(self.dtype)
+        for i, h in enumerate(self.hidden_dims):
+            out = nn.Dense(h, dtype=self.dtype, name=f"hidden_{i}")(out)
+            out = nn.relu(out)
+            if self.dropout > 0:
+                out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        embedding = nn.Dense(self.latent_dim, dtype=jnp.float32, name="embedding")(out)
+        log_covariance = nn.Dense(self.latent_dim, dtype=jnp.float32, name="log_var")(out)
+        return ModelOutput(embedding=embedding, log_covariance=log_covariance)
+
+
+class MLPDecoder(nn.Module):
+    input_dim: Tuple[int, ...]  # (C, H, W)
+    latent_dim: int
+    hidden_dims: Sequence[int] = (512,)
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray, deterministic: bool = True) -> ModelOutput:
+        out = z.astype(self.dtype)
+        for i, h in enumerate(self.hidden_dims):
+            out = nn.Dense(h, dtype=self.dtype, name=f"hidden_{i}")(out)
+            out = nn.relu(out)
+            if self.dropout > 0:
+                out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = nn.Dense(int(np.prod(self.input_dim)), dtype=jnp.float32, name="out")(out)
+        recon = nn.sigmoid(out).reshape((z.shape[0], *self.input_dim))
+        return ModelOutput(reconstruction=recon)

@@ -1,0 +1,136 @@
+"""ResNet encoder/decoder.
+
+Covers the reference's "resnet" architecture option (reference:
+src/models/components/encoder_manager.py:136-227, decoder_manager.py:136-230).
+Note: the reference's `_create_residual_layer` builds plain conv stacks with
+NO skip connections despite the name; here the blocks are true residual
+blocks (identity or 1x1-projection shortcut), which is both the intended
+architecture and the better-conditioned one.  Stage widths / strides / the
+7x7 stem + maxpool / GAP + 512->256 head match the reference layout.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from rlvae_tpu.utils.output import ModelOutput
+
+
+class ResidualBlock(nn.Module):
+    channels: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        residual = x
+        out = nn.Conv(
+            self.channels, (3, 3), strides=(self.stride, self.stride), padding="SAME",
+            dtype=self.dtype, name="conv1",
+        )(x)
+        out = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn1")(out)
+        out = nn.relu(out.astype(self.dtype))
+        out = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(out)
+        out = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="bn2")(out)
+        if residual.shape != out.shape:
+            residual = nn.Conv(
+                self.channels, (1, 1), strides=(self.stride, self.stride),
+                dtype=self.dtype, name="proj",
+            )(x)
+        return nn.relu((out + residual).astype(self.dtype))
+
+
+class ResNetEncoder(nn.Module):
+    input_dim: Tuple[int, int, int]
+    latent_dim: int
+    hidden_dims: Sequence[int] = (64, 128, 256, 512)
+    num_blocks: Sequence[int] = (2, 2, 2, 2)
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True, train: bool = False
+    ) -> ModelOutput:
+        out = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)  # NCHW -> NHWC
+        out = nn.Conv(
+            self.hidden_dims[0], (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+            dtype=self.dtype, name="stem",
+        )(out)
+        out = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="stem_bn")(out)
+        out = nn.relu(out.astype(self.dtype))
+        out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        for si in range(len(self.hidden_dims) - 1):
+            ch = self.hidden_dims[si + 1]
+            for bi in range(self.num_blocks[min(si, len(self.num_blocks) - 1)]):
+                stride = 2 if bi == 0 else 1
+                out = ResidualBlock(ch, stride, self.dtype, name=f"stage{si}_block{bi}")(
+                    out, train=train
+                )
+        out = jnp.mean(out, axis=(1, 2))  # global average pool
+        out = nn.relu(nn.Dense(512, dtype=self.dtype, name="head_0")(out))
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = nn.relu(nn.Dense(256, dtype=self.dtype, name="head_1")(out))
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        embedding = nn.Dense(self.latent_dim, dtype=jnp.float32, name="embedding")(out)
+        log_covariance = nn.Dense(self.latent_dim, dtype=jnp.float32, name="log_var")(out)
+        return ModelOutput(embedding=embedding, log_covariance=log_covariance)
+
+
+class ResNetDecoder(nn.Module):
+    input_dim: Tuple[int, int, int]
+    latent_dim: int
+    hidden_dims: Sequence[int] = (512, 256, 128, 64)
+    num_blocks: Sequence[int] = (2, 2, 2, 2)
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, z: jnp.ndarray, deterministic: bool = True, train: bool = False
+    ) -> ModelOutput:
+        c, height, width = self.input_dim
+        n = len(self.hidden_dims)
+        h0, w0 = height // (2**n), width // (2**n)
+
+        out = z.astype(self.dtype)
+        out = nn.relu(nn.Dense(1024, dtype=self.dtype, name="head_0")(out))
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = nn.relu(nn.Dense(512, dtype=self.dtype, name="head_1")(out))
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = nn.Dense(self.hidden_dims[0] * h0 * w0, dtype=self.dtype, name="expand")(out)
+        out = out.reshape(out.shape[0], h0, w0, self.hidden_dims[0])
+
+        out = nn.ConvTranspose(
+            self.hidden_dims[0], (4, 4), strides=(2, 2), padding="SAME",
+            dtype=self.dtype, name="up0",
+        )(out)
+        out = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32, name="up0_bn")(out)
+        out = nn.relu(out.astype(self.dtype))
+
+        for si in range(len(self.hidden_dims) - 1):
+            ch = self.hidden_dims[si + 1]
+            out = nn.ConvTranspose(
+                ch, (3, 3), strides=(2, 2), padding="SAME", dtype=self.dtype,
+                name=f"up{si + 1}",
+            )(out)
+            out = nn.BatchNorm(
+                use_running_average=not train, dtype=jnp.float32, name=f"up{si + 1}_bn"
+            )(out)
+            out = nn.relu(out.astype(self.dtype))
+            for bi in range(self.num_blocks[min(si, len(self.num_blocks) - 1)]):
+                out = ResidualBlock(ch, 1, self.dtype, name=f"stage{si}_block{bi}")(
+                    out, train=train
+                )
+        out = nn.ConvTranspose(
+            c, (4, 4), strides=(2, 2), padding="SAME", dtype=jnp.float32, name="final",
+        )(out)
+        recon = jnp.transpose(out, (0, 3, 1, 2))  # NHWC -> NCHW
+        return ModelOutput(reconstruction=recon)

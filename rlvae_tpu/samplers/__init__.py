@@ -1,0 +1,29 @@
+from rlvae_tpu.samplers.hmc import (
+    HMCConfig,
+    refine_for_training,
+    sample_posterior_hmc,
+    sample_prior_hmc,
+    tempering,
+)
+from rlvae_tpu.samplers.riemannian import (
+    POSTERIOR_METHODS,
+    PRIOR_METHODS,
+    reparam,
+    sample_metric_aware_posterior,
+    sample_posterior,
+    sample_prior,
+)
+
+__all__ = [
+    "reparam",
+    "sample_posterior",
+    "sample_prior",
+    "sample_metric_aware_posterior",
+    "POSTERIOR_METHODS",
+    "PRIOR_METHODS",
+    "HMCConfig",
+    "sample_prior_hmc",
+    "sample_posterior_hmc",
+    "refine_for_training",
+    "tempering",
+]

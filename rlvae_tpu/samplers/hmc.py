@@ -1,0 +1,193 @@
+"""Manifold Hamiltonian Monte Carlo — the generation-path workhorse.
+
+Reimplements the reference's two HMC surfaces as fully jit'd nested scans:
+
+- the official pythae prior chain (reference: pythae samplers/manifold_sampler/
+  rhvae_sampler.py:98-148): start at random centroids, 100 MCMC steps x 15
+  leapfrog steps at eps=0.03, tempering beta_k = ((1-1/sqrt(b0))(k/K)^2)
+  + 1/sqrt(b0) carried ACROSS MCMC steps, Metropolis accept with masked mixing;
+- the custom sampler variants (reference: src/models/samplers/hmc_sampler.py):
+  random-normal starts (:117), posterior-tempered HMC (:167-214, including its
+  ``z - eps * rho`` position-update quirk), and the 3-step gradient
+  refinement used during training (:216-257).
+
+The whole chain is ONE compiled program: the per-step log-density and
+analytic gradient come from the fused Pallas kernel on TPU
+(rlvae_tpu.ops.metric_kernels.hmc_terms_pallas) or the XLA path elsewhere,
+and Metropolis acceptance is a ``jnp.where`` mask — there is no host round
+trip anywhere in the 1500-step chain.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rlvae_tpu.geometry import metric as gm
+from rlvae_tpu.geometry.metric import CentroidMetric
+
+Array = jax.Array
+
+
+@struct.dataclass
+class HMCConfig:
+    mcmc_steps: int = struct.field(pytree_node=False, default=100)
+    n_lf: int = struct.field(pytree_node=False, default=15)
+    eps_lf: float = struct.field(pytree_node=False, default=0.03)
+    beta_zero: float = struct.field(pytree_node=False, default=1.0)
+    init: str = struct.field(pytree_node=False, default="centroids")  # or "randn"
+    backend: str = struct.field(pytree_node=False, default="auto")  # auto|pallas|xla
+
+
+def _terms_fn(metric: CentroidMetric, backend: str):
+    """(log pi, grad log pi) evaluator for the chain."""
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from rlvae_tpu.ops.metric_kernels import hmc_terms_pallas
+
+        return lambda z: hmc_terms_pallas(metric, z)
+
+    def xla_terms(z):
+        return gm.log_sqrt_det_g_inv(metric, z), gm.grad_log_sqrt_det_g_inv(metric, z)
+
+    return xla_terms
+
+
+def tempering(k: Array, big_k: int, beta_zero_sqrt: Array) -> Array:
+    """1/beta_k with beta_k = ((1 - 1/sqrt(b0)) (k/K)^2) + 1/sqrt(b0)
+    (reference: pythae rhvae_sampler.py:152-155)."""
+    beta_k = (1.0 - 1.0 / beta_zero_sqrt) * (k / big_k) ** 2 + 1.0 / beta_zero_sqrt
+    return 1.0 / beta_k
+
+
+def sample_prior_hmc(
+    metric: CentroidMetric,
+    key: Array,
+    num_samples: int,
+    config: HMCConfig = HMCConfig(),
+) -> Array:
+    """HMC chain targeting pi(z) ~ sqrt(det G^{-1}(z))."""
+    terms = _terms_fn(metric, config.backend)
+    d = metric.latent_dim
+    beta_zero_sqrt = jnp.sqrt(jnp.asarray(config.beta_zero, jnp.float32))
+    eps_lf = jnp.asarray(config.eps_lf, jnp.float32)
+
+    k_init, k_chain = jax.random.split(key)
+    if config.init == "centroids":
+        idx = jax.random.randint(k_init, (num_samples,), 0, metric.n_centroids)
+        z0 = metric.centroids[idx]
+    else:
+        z0 = jax.random.normal(k_init, (num_samples, d))
+
+    def leapfrog_step(carry, k):
+        z, rho, beta_sqrt_old = carry
+        _, grad = terms(z)
+        g = -grad
+        rho_half = rho - (eps_lf / 2.0) * g
+        z = z + eps_lf * rho_half
+        _, grad = terms(z)
+        g = -grad
+        rho_full = rho_half - (eps_lf / 2.0) * g
+        beta_sqrt = tempering(k + 1.0, config.n_lf, beta_zero_sqrt)
+        rho = (beta_sqrt_old / beta_sqrt) * rho_full
+        return (z, rho, beta_sqrt), None
+
+    def mcmc_step(carry, step_key):
+        z0_s, beta_sqrt_old = carry
+        k_mom, k_acc = jax.random.split(step_key)
+        gamma = jax.random.normal(k_mom, z0_s.shape)
+        rho = gamma / beta_zero_sqrt
+        logpi0, _ = terms(z0_s)
+        h0 = -logpi0 + 0.5 * jnp.sum(rho**2, axis=1)
+
+        (z, rho, beta_sqrt_old), _ = jax.lax.scan(
+            leapfrog_step,
+            (z0_s, rho, beta_sqrt_old),
+            jnp.arange(config.n_lf, dtype=jnp.float32),
+        )
+
+        logpi, _ = terms(z)
+        h = -logpi + 0.5 * jnp.sum(rho**2, axis=1)
+        alpha = jnp.exp(-h) / jnp.exp(-h0)
+        accept = jax.random.uniform(k_acc, (z.shape[0],)) < alpha
+        z = jnp.where(accept[:, None], z, z0_s)
+        return (z, beta_sqrt_old), None
+
+    keys = jax.random.split(k_chain, config.mcmc_steps)
+    (z, _), _ = jax.lax.scan(mcmc_step, (z0, beta_zero_sqrt), keys)
+    return z
+
+
+def sample_posterior_hmc(
+    metric: CentroidMetric,
+    key: Array,
+    mu: Array,
+    log_var: Array,
+    n_steps: int = 20,
+    n_lf: int = 5,
+    eps_lf: float = 0.01,
+    backend: str = "auto",
+) -> Array:
+    """Posterior-tempered HMC (reference: hmc_sampler.py:167-214).
+
+    Energy = -log pi(z) + 0.5 sum((z-mu)^2 exp(-log_var)); gradients via
+    autodiff of the energy like the reference; the reference's position
+    update subtracts eps*rho — kept verbatim for parity.
+    """
+    terms = _terms_fn(metric, backend)
+
+    def energy(z):
+        logpi, _ = terms(z)
+        diff = z - mu
+        return jnp.sum(-logpi + 0.5 * jnp.sum(diff * jnp.exp(-log_var) * diff, axis=1))
+
+    grad_e = jax.grad(energy)
+
+    k_init, k_chain = jax.random.split(key)
+    eps0 = jax.random.normal(k_init, mu.shape)
+    z = mu + eps0 * jnp.exp(0.5 * log_var)
+
+    def lf(z_rho, _):
+        z, rho = z_rho
+        g = grad_e(z)
+        rho = rho - (eps_lf / 2.0) * g
+        z = z - eps_lf * rho  # reference quirk: minus
+        g = grad_e(z)
+        rho = rho - (eps_lf / 2.0) * g
+        return (z, rho), None
+
+    def step(z, k):
+        gamma = jax.random.normal(k, z.shape)
+        rho = gamma * 0.1
+        (z, _), _ = jax.lax.scan(lf, (z, rho), None, length=n_lf)
+        return z, None
+
+    z, _ = jax.lax.scan(step, z, jax.random.split(k_chain, n_steps))
+    return z
+
+
+def refine_for_training(
+    metric: CentroidMetric,
+    key: Array,
+    mu: Array,
+    log_var: Array,
+    n_steps: int = 3,
+    step_size: float = 0.01,
+    backend: str = "auto",
+) -> Array:
+    """HMC-style training refinement (reference: hmc_sampler.py:216-257):
+    z = mu + eps*sigma, then n small steps z += step * (-grad log pi)."""
+    terms = _terms_fn(metric, backend)
+    eps = jax.random.normal(key, mu.shape)
+    z = mu + eps * jnp.exp(0.5 * log_var)
+
+    def body(_, z):
+        _, grad = terms(z)
+        return z + step_size * (-grad)
+
+    return jax.lax.fori_loop(0, n_steps, body, z)

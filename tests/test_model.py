@@ -1,0 +1,157 @@
+"""Model integration tests (reference analogue: tests/test_hybrid_model.py,
+test_setup.py — forward shapes, finite losses, vanilla degenerate config,
+factory behavior)."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rlvae_tpu.config import compose
+from rlvae_tpu.models import RlVAE, apply_model_overrides, create_model
+
+CONF = Path(__file__).resolve().parents[1] / "conf"
+DATA = Path(__file__).resolve().parents[1] / "data" / "pretrained"
+
+SMALL = dict(input_dim=(3, 8, 8), latent_dim=16, n_flows=2, flow_hidden_size=32)
+
+
+def _batch(b=2, t=4, dim=(3, 8, 8)):
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.uniform(size=(b, t, *dim)), jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def gaussian_model():
+    model = RlVAE(
+        **SMALL, posterior_type="gaussian", sampling_method="standard",
+        use_riemannian=False, riemannian_beta=0.0,
+    )
+    variables = model.init(jax.random.PRNGKey(0))
+    return model, variables
+
+
+@pytest.fixture(scope="module")
+def riemannian_model():
+    model = RlVAE(**SMALL, posterior_type="riemannian_metric", sampling_method="geodesic")
+    model.load_pretrained_metric(DATA / "metric_T0.7_scaled.npz", temperature_override=3.0)
+    variables = model.init(jax.random.PRNGKey(0))
+    return model, variables
+
+
+def test_forward_shapes_and_losses(gaussian_model):
+    model, variables = gaussian_model
+    x = _batch()
+    out = model.forward(variables, x, jax.random.PRNGKey(1), compute_metrics=True)
+    assert out.recon_x.shape == x.shape
+    assert out.z.shape == (2, 4, 16)
+    for k in ("loss", "recon_loss", "kld_loss", "flow_loss"):
+        assert np.isfinite(float(out[k])), k
+    assert "cyclicity_error" in out.metrics
+
+
+def test_riemannian_forward(riemannian_model):
+    model, variables = riemannian_model
+    x = _batch()
+    out = model.forward(variables, x, jax.random.PRNGKey(1), compute_metrics=True)
+    assert np.isfinite(float(out.loss))
+    assert "metric_conditioning" in out.metrics
+    # riemannian KL is the quadratic-form KL, weighted by riemannian_beta
+    assert float(out.kld_loss) >= 0.0
+
+
+def test_forward_jit_and_grad(riemannian_model):
+    model, variables = riemannian_model
+    x = _batch()
+
+    @jax.jit
+    def loss_fn(vs, x, key):
+        return model.forward(vs, x, key).loss
+
+    g = jax.jit(jax.grad(lambda vs: loss_fn(vs, x, jax.random.PRNGKey(2))))(variables)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert leaves and all(np.isfinite(np.asarray(a)).all() for a in leaves)
+
+
+def test_closed_loop():
+    model = RlVAE(
+        **SMALL, posterior_type="gaussian", sampling_method="standard",
+        use_riemannian=False, loop_mode="closed", loop_penalty=1.0,
+    )
+    variables = model.init(jax.random.PRNGKey(0))
+    out = model.forward(variables, _batch(), jax.random.PRNGKey(1))
+    # last latent overwritten by first
+    np.testing.assert_array_equal(np.asarray(out.z[:, -1]), np.asarray(out.z[:, 0]))
+    assert float(out.loop_penalty) > 0.0
+
+
+def test_vanilla_no_flows():
+    model = RlVAE(
+        input_dim=(3, 8, 8), latent_dim=16, n_flows=0,
+        posterior_type="gaussian", sampling_method="standard", use_riemannian=False,
+    )
+    variables = model.init(jax.random.PRNGKey(0))
+    assert variables["flows"] == []
+    out = model.forward(variables, _batch(), jax.random.PRNGKey(1))
+    assert float(out.flow_loss) == 0.0
+    # all frames decode the same latent
+    np.testing.assert_allclose(
+        np.asarray(out.recon_x[:, 0]), np.asarray(out.recon_x[:, -1]), atol=1e-6
+    )
+
+
+def test_sampling_methods_all_run(riemannian_model):
+    model, variables = riemannian_model
+    for method in ("standard", "basic", "enhanced", "geodesic", "official"):
+        m2 = RlVAE(
+            **SMALL, posterior_type="gaussian", sampling_method=method,
+            use_riemannian=True, metric=model.metric,
+        )
+        out = m2.forward(variables, _batch(), jax.random.PRNGKey(3))
+        assert np.isfinite(float(out.loss)), method
+
+
+def test_prior_sampling_methods(riemannian_model):
+    model, _ = riemannian_model
+    for method in ("geodesic", "centroid_aware", "weighted_mixture", "basic"):
+        z = model.sample_riemannian_prior(jax.random.PRNGKey(4), 6, method)
+        assert z.shape == (6, 16)
+        assert np.isfinite(np.asarray(z)).all(), method
+
+
+def test_generate(riemannian_model):
+    model, variables = riemannian_model
+    x_gen = model.generate(variables, jax.random.PRNGKey(5), 3, n_obs=4)
+    assert x_gen.shape == (3, 4, 3, 8, 8)
+
+
+def test_factory_from_conf():
+    cfg = compose(CONF, overrides=["model=vanilla_vae"])
+    model = create_model(dict(cfg.model.to_dict()))
+    assert model.n_flows == 0 and model.posterior_type == "gaussian"
+    assert model.metric is None
+
+    cfg = compose(CONF)
+    model = create_model(cfg.model.to_dict())
+    assert model.posterior_type == "riemannian_metric"
+    # metric artifact exists in data/pretrained -> loaded with T override 3.0
+    assert model.metric is not None
+    assert float(model.metric.temperature) == 3.0
+
+
+def test_vanilla_overrides():
+    cfg = compose(CONF).model.to_dict()
+    vcfg = apply_model_overrides(cfg, "vanilla_vae")
+    assert vcfg["n_flows"] == 0
+    assert vcfg["posterior"]["type"] == "gaussian"
+    assert vcfg["pretrained"]["metric_path"] is None
+
+
+def test_model_summary(riemannian_model):
+    model, variables = riemannian_model
+    s = model.get_model_summary(variables)
+    assert s["architecture"]["latent_dim"] == 16
+    assert s["metric"]["n_centroids"] == 50
+    assert s["parameter_count"] > 0

@@ -1,0 +1,121 @@
+"""Sampler tests: statistical properties + HMC chain behavior.
+
+The HMC tempering schedule and chain structure are parity-anchored to pythae
+(reference: pythae samplers/manifold_sampler/rhvae_sampler.py:98-155).
+"""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rlvae_tpu.geometry import load_metric
+from rlvae_tpu.samplers import (
+    HMCConfig,
+    refine_for_training,
+    reparam,
+    sample_metric_aware_posterior,
+    sample_posterior,
+    sample_posterior_hmc,
+    sample_prior,
+    sample_prior_hmc,
+    tempering,
+)
+
+DATA = Path(__file__).resolve().parents[1] / "data" / "pretrained"
+
+
+@pytest.fixture(scope="module")
+def metric():
+    return load_metric(DATA / "metric_T0.7_scaled.npz")
+
+
+@pytest.fixture(scope="module")
+def mu_lv():
+    rng = np.random.default_rng(0)
+    return (
+        jnp.asarray(rng.normal(size=(16, 16)), jnp.float32),
+        jnp.asarray(rng.normal(size=(16, 16)) * 0.1 - 1.0, jnp.float32),
+    )
+
+
+def test_reparam_statistics():
+    mu = jnp.zeros((4096, 8))
+    lv = jnp.zeros((4096, 8))
+    z = reparam(jax.random.PRNGKey(0), mu, lv)
+    assert abs(float(z.mean())) < 0.05
+    assert abs(float(z.std()) - 1.0) < 0.05
+
+
+def test_posterior_methods_finite(metric, mu_lv):
+    mu, lv = mu_lv
+    for method in ("standard", "basic", "enhanced", "geodesic", "official"):
+        z = sample_posterior(metric, jax.random.PRNGKey(1), mu, lv, method)
+        assert z.shape == mu.shape
+        assert np.isfinite(np.asarray(z)).all(), method
+
+
+def test_metric_aware_posterior_covariance(metric):
+    """z0 = mu + L eps with L L^T = G^{-1}(mu): empirical covariance -> G^{-1}."""
+    from rlvae_tpu.geometry import g_inv
+
+    mu = jnp.tile(metric.centroids[:1], (8192, 1))
+    lv = jnp.zeros_like(mu)
+    z = sample_metric_aware_posterior(metric, jax.random.PRNGKey(2), mu, lv)
+    emp_cov = np.cov(np.asarray(z - mu).T)
+    expected = np.asarray(g_inv(metric, metric.centroids[:1]))[0]
+    np.testing.assert_allclose(emp_cov, expected, atol=0.15 * np.abs(expected).max() + 0.05)
+
+
+def test_prior_methods(metric):
+    for method in ("geodesic", "centroid_aware", "weighted_mixture", "basic"):
+        z = sample_prior(metric, jax.random.PRNGKey(3), 32, metric.latent_dim, method)
+        assert z.shape == (32, 16)
+        assert np.isfinite(np.asarray(z)).all(), method
+    z = sample_prior(None, jax.random.PRNGKey(3), 32, 16, "geodesic")
+    assert z.shape == (32, 16)
+
+
+def test_tempering_schedule():
+    b0_sqrt = jnp.sqrt(jnp.asarray(4.0))
+    # k=K -> beta_k = 1 -> returns 1
+    np.testing.assert_allclose(float(tempering(15.0, 15, b0_sqrt)), 1.0, rtol=1e-6)
+    # k=0 -> 1/(1/sqrt(b0)) = sqrt(b0)
+    np.testing.assert_allclose(float(tempering(0.0, 15, b0_sqrt)), 2.0, rtol=1e-6)
+
+
+def test_hmc_prior_chain(metric):
+    cfg = HMCConfig(mcmc_steps=5, n_lf=3, backend="xla")
+    z = sample_prior_hmc(metric, jax.random.PRNGKey(4), 8, cfg)
+    assert z.shape == (8, 16)
+    assert np.isfinite(np.asarray(z)).all()
+    # chain moves toward high sqrt(det G^{-1}) regions: samples stay near the
+    # centroid cloud rather than diverging
+    dist = np.linalg.norm(
+        np.asarray(z)[:, None, :] - np.asarray(metric.centroids)[None], axis=-1
+    ).min(axis=1)
+    assert dist.max() < 20.0
+
+
+def test_hmc_randn_init(metric):
+    cfg = HMCConfig(mcmc_steps=2, n_lf=2, init="randn", backend="xla")
+    z = sample_prior_hmc(metric, jax.random.PRNGKey(5), 4, cfg)
+    assert np.isfinite(np.asarray(z)).all()
+
+
+def test_hmc_posterior_and_refine(metric, mu_lv):
+    mu, lv = mu_lv
+    z = sample_posterior_hmc(metric, jax.random.PRNGKey(6), mu, lv, n_steps=2, n_lf=2, backend="xla")
+    assert z.shape == mu.shape and np.isfinite(np.asarray(z)).all()
+    z = refine_for_training(metric, jax.random.PRNGKey(7), mu, lv, backend="xla")
+    assert z.shape == mu.shape and np.isfinite(np.asarray(z)).all()
+
+
+def test_hmc_jit_compiles_once(metric):
+    cfg = HMCConfig(mcmc_steps=3, n_lf=2, backend="xla")
+    f = jax.jit(lambda key: sample_prior_hmc(metric, key, 8, cfg))
+    z1 = f(jax.random.PRNGKey(8))
+    z2 = f(jax.random.PRNGKey(9))
+    assert not np.allclose(np.asarray(z1), np.asarray(z2))
