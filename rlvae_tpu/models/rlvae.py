@@ -96,16 +96,24 @@ class RlVAE:
     # -- state ---------------------------------------------------------------
 
     def init(self, key: Array, n_obs: int = 8, batch_size: int = 2) -> Dict[str, Any]:
-        """Initialize all learnable state."""
+        """Initialize all model state, split into trainable ``params`` and
+        non-trainable ``stats`` (BatchNorm running statistics) so the
+        optimizer only ever touches the former."""
         k_enc, k_dec, k_flows = jax.random.split(key, 3)
         x0 = jnp.zeros((batch_size, *self.input_dim), jnp.float32)
         z0 = jnp.zeros((batch_size, self.latent_dim), jnp.float32)
-        enc_vars = self.encoder.init(k_enc, x0)
-        dec_vars = self.decoder.init(k_dec, z0)
+        enc_vars = dict(self.encoder.init(k_enc, x0))
+        dec_vars = dict(self.decoder.init(k_dec, z0))
         return {
-            "encoder": dict(enc_vars),
-            "decoder": dict(dec_vars),
-            "flows": self.flow_config.init(k_flows) if self.n_flows > 0 else [],
+            "params": {
+                "encoder": enc_vars["params"],
+                "decoder": dec_vars["params"],
+                "flows": self.flow_config.init(k_flows) if self.n_flows > 0 else [],
+            },
+            "stats": {
+                "encoder": enc_vars.get("batch_stats", {}),
+                "decoder": dec_vars.get("batch_stats", {}),
+            },
         }
 
     def load_pretrained_metric(
@@ -124,35 +132,30 @@ class RlVAE:
 
     # -- forward -------------------------------------------------------------
 
-    def encode(self, variables: Dict[str, Any], x0: Array, train: bool = False):
+    def _apply_net(self, module, variables: Dict[str, Any], which: str, arg: Array, train: bool):
+        fvars = {"params": variables["params"][which]}
+        has_stats = bool(variables.get("stats", {}).get(which))
         kwargs = {}
-        if "batch_stats" in variables["encoder"]:
+        if has_stats:
+            fvars["batch_stats"] = variables["stats"][which]
             kwargs["train"] = train
-        out = self.encoder.apply(
-            variables["encoder"],
-            x0,
+        out = module.apply(
+            fvars,
+            arg,
             deterministic=not train,
-            mutable=["batch_stats"] if (train and "batch_stats" in variables["encoder"]) else False,
+            mutable=["batch_stats"] if (train and has_stats) else False,
             **kwargs,
         )
         if isinstance(out, tuple):
-            return out  # (ModelOutput, mutated)
+            result, mutated = out
+            return result, dict(mutated).get("batch_stats", {})
         return out, {}
 
+    def encode(self, variables: Dict[str, Any], x0: Array, train: bool = False):
+        return self._apply_net(self.encoder, variables, "encoder", x0, train)
+
     def decode(self, variables: Dict[str, Any], z: Array, train: bool = False):
-        kwargs = {}
-        if "batch_stats" in variables["decoder"]:
-            kwargs["train"] = train
-        out = self.decoder.apply(
-            variables["decoder"],
-            z,
-            deterministic=not train,
-            mutable=["batch_stats"] if (train and "batch_stats" in variables["decoder"]) else False,
-            **kwargs,
-        )
-        if isinstance(out, tuple):
-            return out
-        return out, {}
+        return self._apply_net(self.decoder, variables, "decoder", z, train)
 
     def sample_z0(self, key: Array, mu: Array, log_var: Array) -> Array:
         """Posterior sampling switch (reference: riemannian_flow_vae.py:1111-1161)."""
@@ -186,7 +189,7 @@ class RlVAE:
 
         if self.n_flows > 0:
             z_seq, log_dets = apply_temporal_flows(
-                self.flow_config, variables["flows"], z0, n_obs
+                self.flow_config, variables["params"]["flows"], z0, n_obs
             )
         else:
             z_seq = jnp.repeat(z0[:, None, :], n_obs, axis=1)
@@ -261,7 +264,7 @@ class RlVAE:
         """Sample prior latents, evolve through time, decode to sequences."""
         z0 = self.sample_riemannian_prior(key, num_samples, method)
         if self.n_flows > 0:
-            z_seq, _ = apply_temporal_flows(self.flow_config, variables["flows"], z0, n_obs)
+            z_seq, _ = apply_temporal_flows(self.flow_config, variables["params"]["flows"], z0, n_obs)
         else:
             z_seq = jnp.repeat(z0[:, None, :], n_obs, axis=1)
         dec_out, _ = self.decode(variables, z_seq.reshape(-1, self.latent_dim))

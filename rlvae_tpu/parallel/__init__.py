@@ -1,0 +1,20 @@
+from rlvae_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, create_mesh, resolve_num_devices
+from rlvae_tpu.parallel.sharding import (
+    batch_sharding,
+    pad_to_devices,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "create_mesh",
+    "resolve_num_devices",
+    "batch_sharding",
+    "replicated",
+    "replicate",
+    "shard_batch",
+    "pad_to_devices",
+]

@@ -1,0 +1,55 @@
+"""Checkpointing via Orbax.
+
+Replaces the reference's three mechanisms (SURVEY.md §5: Lightning
+ModelCheckpoint monitoring val_loss, pythae BaseTrainer.save_checkpoint, and
+pretrained-component loading): Orbax saves {variables, opt_state, step,
+best_val} with 'best' and 'last' slots plus a ``model_config.json`` sidecar
+(reference: pythae base_model.py:174-213 save()).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _to_numpy_tree(tree):
+    return jax.tree_util.tree_map(lambda a: np.asarray(a), tree)
+
+
+class CheckpointManager:
+    def __init__(self, directory: str | Path, model_config: Optional[Dict[str, Any]] = None):
+        self.directory = Path(directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+        if model_config is not None:
+            (self.directory / "model_config.json").write_text(
+                json.dumps(model_config, indent=2, default=str)
+            )
+        import orbax.checkpoint as ocp
+
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    def save(self, slot: str, state: Dict[str, Any]) -> None:
+        path = (self.directory / slot).resolve()
+        self._ckptr.save(path, _to_numpy_tree(state), force=True)
+
+    def restore(self, slot: str, template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        path = (self.directory / slot).resolve()
+        if template is not None:
+            import orbax.checkpoint as ocp
+
+            return self._ckptr.restore(
+                path, restore_args=ocp.checkpoint_utils.construct_restore_args(template)
+            )
+        return self._ckptr.restore(path)
+
+    def exists(self, slot: str) -> bool:
+        return (self.directory / slot).exists()
+
+    def load_model_config(self) -> Optional[Dict[str, Any]]:
+        p = self.directory / "model_config.json"
+        return json.loads(p.read_text()) if p.exists() else None

@@ -1,0 +1,245 @@
+"""Training loop — the Lightning replacement.
+
+Replaces LightningRlVAETrainer + the Lightning Trainer wiring (reference:
+src/training/lightning_trainer.py:19-318, run_experiment.py:262-304): a jitted
+train/eval step under data-parallel shardings over a ``jax.sharding.Mesh``,
+an epoch loop with validation cadence, ReduceLROnPlateau, EarlyStopping,
+best/last checkpoints, metric logging, and epoch-end visualization hooks.
+
+TPU-first mechanics:
+- ONE compiled program per step (forward + grad + Adam update + batch-stats
+  merge); donated state so params update in place in HBM,
+- batch placed with a NamedSharding over the data axis; XLA inserts the psum
+  gradient reduction over ICI (the communication backend replacing "none"),
+- host work per step is a dict of scalar fetches, batched per log interval.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rlvae_tpu.data.cyclic import CyclicDataModule
+from rlvae_tpu.models.rlvae import RlVAE
+from rlvae_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    replicate,
+    resolve_num_devices,
+    shard_batch,
+)
+from rlvae_tpu.train.checkpoints import CheckpointManager
+from rlvae_tpu.train.optim import (
+    EarlyStopping,
+    PlateauScheduler,
+    get_lr,
+    make_optimizer,
+    set_lr,
+)
+from rlvae_tpu.utils.logging import MetricsLogger
+
+
+def _merge_stats(variables, out):
+    if "state_updates" in out:
+        upd = out["state_updates"]
+        stats = dict(variables["stats"])
+        for k in ("encoder", "decoder"):
+            if upd.get(k):
+                stats[k] = upd[k]
+        variables = {**variables, "stats": stats}
+    return variables
+
+
+def make_train_step(model: RlVAE, optimizer) -> Callable:
+    def train_step(variables, opt_state, batch, key):
+        def loss_fn(params):
+            vs = {**variables, "params": params}
+            out = model.forward(vs, batch, key, train=True)
+            return out.loss, out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, variables["params"])
+        new_params = optax.apply_updates(variables["params"], updates)
+        variables = _merge_stats({**variables, "params": new_params}, out)
+        metrics = {
+            "loss": out.loss,
+            "recon_loss": out.recon_loss,
+            "kld_loss": out.kld_loss,
+            "flow_loss": out.flow_loss,
+            "loop_penalty": out.loop_penalty,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return variables, opt_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+def make_eval_step(model: RlVAE) -> Callable:
+    def eval_step(variables, batch, key):
+        out = model.forward(variables, batch, key, train=False, compute_metrics=True)
+        metrics = {
+            "loss": out.loss,
+            "recon_loss": out.recon_loss,
+            "kld_loss": out.kld_loss,
+            "flow_loss": out.flow_loss,
+        }
+        metrics.update(out.get("metrics", {}))
+        return metrics
+
+    return jax.jit(eval_step)
+
+
+class Trainer:
+    """Epoch-driven trainer with validation, scheduling, early stop, and hooks."""
+
+    def __init__(
+        self,
+        model: RlVAE,
+        data_module: CyclicDataModule,
+        training_config: Mapping[str, Any],
+        run_dir: str | Path = "outputs/run",
+        logger: Optional[MetricsLogger] = None,
+        viz_hook: Optional[Callable] = None,
+        seed: int = 42,
+    ):
+        self.model = model
+        self.data = data_module
+        self.cfg = dict(training_config)
+        self.run_dir = Path(run_dir)
+        self.logger = logger or MetricsLogger(self.run_dir)
+        self.viz_hook = viz_hook
+        self.seed = seed
+
+        trainer_cfg = self.cfg.get("trainer", {})
+        self.max_epochs = int(trainer_cfg.get("max_epochs", 30))
+        self.log_every = int(trainer_cfg.get("log_every_n_steps", 10))
+        n_dev = resolve_num_devices(trainer_cfg.get("devices", 1))
+        self.mesh = create_mesh(n_devices=n_dev)
+        self.n_devices = n_dev
+
+        opt_cfg = self.cfg.get("optimizer", {})
+        self.optimizer = make_optimizer(
+            float(opt_cfg.get("lr", 1e-3)), float(opt_cfg.get("weight_decay", 0.0))
+        )
+        self.scheduler = PlateauScheduler.from_config(self.cfg.get("scheduler", {}))
+        self.early_stopping = EarlyStopping.from_config(self.cfg.get("early_stopping", {}))
+        self.checkpoints = CheckpointManager(
+            self.run_dir / "checkpoints", model.get_model_summary()
+        )
+
+        self._train_step = make_train_step(model, self.optimizer)
+        self._eval_step = make_eval_step(model)
+        self.history: list[Dict[str, float]] = []
+
+    # -- loop ----------------------------------------------------------------
+
+    def fit(self, variables: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        key = jax.random.PRNGKey(self.seed)
+        if variables is None:
+            k_init, key = jax.random.split(key)
+            variables = self.model.init(k_init)
+        opt_state = self.optimizer.init(variables["params"])
+
+        variables = replicate(self.mesh, variables)
+        opt_state = replicate(self.mesh, opt_state)
+        bsharding = batch_sharding(self.mesh)
+
+        best_val = float("inf")
+        step = 0
+        stop = False
+        t_start = time.time()
+        for epoch in range(self.max_epochs):
+            t_epoch = time.time()
+            train_metrics: list = []
+            for batch in self.data.train_batches(epoch):
+                if batch.shape[0] % self.n_devices != 0:
+                    continue  # drop remainder for even sharding
+                key, k_step = jax.random.split(key)
+                device_batch = jax.device_put(jnp.asarray(batch), bsharding)
+                variables, opt_state, metrics = self._train_step(
+                    variables, opt_state, device_batch, k_step
+                )
+                train_metrics.append(metrics)
+                step += 1
+                if step % self.log_every == 0:
+                    host = {f"train/{k}": float(v) for k, v in metrics.items()}
+                    host["lr"] = get_lr(opt_state)
+                    self.logger.log(host, step=step)
+
+            val_metrics = self.evaluate("val", key=jax.random.fold_in(key, epoch), variables=variables)
+            val_loss = val_metrics.get("loss", float("nan"))
+
+            lr = get_lr(opt_state)
+            new_lr = self.scheduler.step(val_loss, lr)
+            if new_lr != lr:
+                opt_state = set_lr(opt_state, new_lr)
+
+            epoch_summary = {
+                "epoch": epoch,
+                "epoch_time": time.time() - t_epoch,
+                **{f"val/{k}": v for k, v in val_metrics.items()},
+            }
+            if train_metrics:
+                last = train_metrics[-1]
+                epoch_summary.update({f"train/{k}": float(v) for k, v in last.items()})
+            self.logger.log(epoch_summary, step=step)
+            self.history.append(epoch_summary)
+
+            if val_loss < best_val:
+                best_val = val_loss
+                self.checkpoints.save(
+                    "best", {"variables": variables, "step": step, "val_loss": val_loss}
+                )
+
+            if self.viz_hook is not None:
+                self.viz_hook(epoch=epoch, model=self.model, variables=variables, trainer=self)
+
+            if self.early_stopping.update(val_loss):
+                self.logger.log({"early_stopped_at": epoch}, step=step)
+                stop = True
+            if stop:
+                break
+
+        self.checkpoints.save("last", {"variables": variables, "step": step, "val_loss": best_val})
+        result = {
+            "variables": variables,
+            "best_val_loss": best_val,
+            "epochs_run": epoch + 1,
+            "steps": step,
+            "train_time": time.time() - t_start,
+            "history": self.history,
+        }
+        self.logger.summary(
+            {k: v for k, v in result.items() if k not in ("variables", "history")}
+        )
+        return result
+
+    def evaluate(
+        self,
+        split: str = "test",
+        key: Optional[jax.Array] = None,
+        variables: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, float]:
+        if variables is None:
+            restored = self.checkpoints.restore("best")
+            variables = restored["variables"]
+        key = key if key is not None else jax.random.PRNGKey(0)
+        batches = self.data.val_batches() if split == "val" else self.data.test_batches()
+        acc: Dict[str, list] = {}
+        for i, batch in enumerate(batches):
+            if batch.shape[0] % self.n_devices != 0:
+                continue
+            metrics = self._eval_step(
+                variables, jnp.asarray(batch), jax.random.fold_in(key, i)
+            )
+            for k, v in metrics.items():
+                acc.setdefault(k, []).append(float(v))
+        return {k: float(np.mean(v)) for k, v in acc.items()}

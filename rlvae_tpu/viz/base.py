@@ -1,0 +1,58 @@
+"""Shared visualization helpers (reference: src/visualizations/base.py:16-95):
+output-path management, safe matplotlib saving, wandb gating, PCA prep."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+
+class BaseVisualization:
+    def __init__(self, config, output_dir: Path, logger=None):
+        self.config = config
+        self.output_dir = Path(output_dir)
+        self.logger = logger
+
+    def _path(self, epoch: int, name: str, ext: str = "png") -> Path:
+        d = self.output_dir / f"epoch_{epoch:03d}"
+        d.mkdir(parents=True, exist_ok=True)
+        return d / f"{name}.{ext}"
+
+    def save_figure(self, fig, epoch: int, name: str) -> Optional[Path]:
+        """Save + optionally log a matplotlib figure; never raises."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        path = self._path(epoch, name)
+        try:
+            fig.savefig(path, dpi=100, bbox_inches="tight")
+        finally:
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
+        if self.logger is not None and getattr(self.config, "log_to_wandb", False):
+            self.logger.log_image(f"viz/{name}", path)
+        return path
+
+    @staticmethod
+    def pca_fit_transform(z: np.ndarray, n_components: int = 2):
+        """PCA projection (sklearn when available, numpy SVD otherwise)."""
+        z = np.asarray(z, np.float64)
+        flat = z.reshape(-1, z.shape[-1])
+        try:
+            from sklearn.decomposition import PCA
+
+            pca = PCA(n_components=n_components)
+            proj = pca.fit_transform(flat)
+            return proj.reshape(*z.shape[:-1], n_components), pca
+        except ImportError:
+            mean = flat.mean(0)
+            u, s, vt = np.linalg.svd(flat - mean, full_matrices=False)
+            comp = vt[:n_components]
+            proj = (flat - mean) @ comp.T
+            return proj.reshape(*z.shape[:-1], n_components), (mean, comp)
+
+    def run(self, epoch: int, model, variables, sample_batch) -> List[Path]:
+        raise NotImplementedError

@@ -93,7 +93,7 @@ def test_vanilla_no_flows():
         posterior_type="gaussian", sampling_method="standard", use_riemannian=False,
     )
     variables = model.init(jax.random.PRNGKey(0))
-    assert variables["flows"] == []
+    assert variables["params"]["flows"] == []
     out = model.forward(variables, _batch(), jax.random.PRNGKey(1))
     assert float(out.flow_loss) == 0.0
     # all frames decode the same latent

@@ -1,0 +1,151 @@
+"""Trainer tests: optimization semantics, scheduling, end-to-end fit on tiny
+shapes, checkpoint round-trip, and the data-parallel step on the faked
+8-device mesh (the distributed test tier the reference lacks, SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rlvae_tpu.data import CyclicDataModule
+from rlvae_tpu.models import RlVAE
+from rlvae_tpu.parallel import batch_sharding, create_mesh, replicate
+from rlvae_tpu.train import (
+    EarlyStopping,
+    PlateauScheduler,
+    Trainer,
+    get_lr,
+    make_optimizer,
+    make_train_step,
+)
+
+DATA_CFG = {
+    "sequence_length": 4,
+    "image_size": [8, 8],
+    "channels": 3,
+    "synthetic_fallback": True,
+    "synthetic_n_train": 16,
+    "synthetic_n_test": 8,
+}
+
+TRAIN_CFG = {
+    "trainer": {"max_epochs": 2, "devices": 1, "log_every_n_steps": 2},
+    "data": {"batch_size": 4},
+    "optimizer": {"lr": 1e-3, "weight_decay": 1e-4},
+    "scheduler": {"factor": 0.5, "patience": 1, "min_lr": 1e-6},
+    "early_stopping": {"patience": 5, "min_delta": 0.0},
+    "n_train_samples": 16,
+    "n_val_samples": 8,
+}
+
+
+def _tiny_model():
+    return RlVAE(
+        input_dim=(3, 8, 8), latent_dim=8, n_flows=2, flow_hidden_size=16,
+        posterior_type="gaussian", sampling_method="standard", use_riemannian=False,
+    )
+
+
+def test_plateau_scheduler():
+    s = PlateauScheduler(factor=0.5, patience=1, threshold=0.0)
+    lr = 1.0
+    lr = s.step(10.0, lr)
+    assert lr == 1.0
+    lr = s.step(10.0, lr)  # bad epoch 1
+    assert lr == 1.0
+    lr = s.step(10.0, lr)  # bad epoch 2 > patience -> reduce
+    assert lr == 0.5
+    lr = s.step(1.0, lr)  # improvement
+    assert lr == 0.5
+
+
+def test_early_stopping():
+    es = EarlyStopping(patience=2, min_delta=0.0)
+    assert not es.update(5.0)
+    assert not es.update(6.0)
+    assert es.update(7.0)  # two bad epochs
+
+
+def test_train_step_reduces_loss():
+    model = _tiny_model()
+    variables = model.init(jax.random.PRNGKey(0), n_obs=4)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(variables["params"])
+    step = make_train_step(model, optimizer)
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.uniform(size=(4, 4, 3, 8, 8)), jnp.float32)
+    losses = []
+    for i in range(20):
+        variables, opt_state, metrics = step(
+            variables, opt_state, batch, jax.random.PRNGKey(i)
+        )
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] - 1.0, f"no progress: {losses[0]} -> {losses[-1]}"
+    assert get_lr(opt_state) == pytest.approx(1e-3)
+
+
+def test_fit_end_to_end(tmp_path):
+    model = _tiny_model()
+    dm = CyclicDataModule(DATA_CFG)
+    dm.setup(TRAIN_CFG)
+    trainer = Trainer(model, dm, TRAIN_CFG, run_dir=tmp_path)
+    result = trainer.fit()
+    assert result["epochs_run"] == 2
+    assert np.isfinite(result["best_val_loss"])
+    assert (tmp_path / "checkpoints" / "best").exists()
+    assert (tmp_path / "checkpoints" / "last").exists()
+    assert (tmp_path / "metrics.jsonl").exists()
+    # checkpoint round-trip
+    restored = trainer.checkpoints.restore("best")
+    assert "variables" in restored
+    test_metrics = trainer.evaluate("test", variables=result["variables"])
+    assert np.isfinite(test_metrics["loss"])
+
+
+def test_data_parallel_step_8_devices():
+    """DP over the faked 8-device mesh: loss/params must match the 1-device
+    run exactly (same global batch, psum-reduced grads)."""
+    assert jax.device_count() == 8
+    model = _tiny_model()
+    variables = model.init(jax.random.PRNGKey(0), n_obs=4)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(variables["params"])
+    step = make_train_step(model, optimizer)
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.uniform(size=(16, 4, 3, 8, 8)), jnp.float32)
+    key = jax.random.PRNGKey(5)
+
+    def grads_of(vs, b):
+        return jax.jit(
+            jax.grad(lambda p: model.forward({**vs, "params": p}, b, key, train=True).loss)
+        )(vs["params"])
+
+    # single-device result
+    v1, o1, m1 = step(variables, opt_state, batch, key)
+    g1 = grads_of(model.init(jax.random.PRNGKey(0), n_obs=4), batch)
+
+    # 8-device sharded result
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    v_r = replicate(mesh, model.init(jax.random.PRNGKey(0), n_obs=4))
+    o_r = replicate(mesh, optimizer.init(v_r["params"]))
+    sharded = jax.device_put(batch, batch_sharding(mesh))
+    v8, o8, m8 = step(v_r, o_r, sharded, key)
+    g8 = grads_of(replicate(mesh, model.init(jax.random.PRNGKey(0), n_obs=4)), sharded)
+
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]), rtol=1e-5)
+    # psum-reduced gradients must match the single-device global-batch grads
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g8)):
+        scale = max(1e-3, float(np.abs(np.asarray(a)).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4 * scale
+        )
+    # and the updated params stay fully replicated across the mesh
+    first_leaf = jax.tree_util.tree_leaves(v8["params"])[0]
+    assert first_leaf.sharding.is_fully_replicated
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
