@@ -140,6 +140,7 @@ class CyclicDataModule:
         self.val: Optional[CyclicSequenceDataset] = None
         self.test: Optional[CyclicSequenceDataset] = None
         self.batch_size = 8
+        self._native_loader = None
 
     def _resolve(self, key: str) -> Optional[Path]:
         raw = self.config.get(key)
@@ -196,9 +197,19 @@ class CyclicDataModule:
         )
 
     def train_batches(self, epoch: int = 0) -> Iterator[np.ndarray]:
-        yield from batch_iterator(
-            self.train.data, self.batch_size, shuffle=True, seed=self.seed + epoch
-        )
+        # Training batches go through the native C++ prefetching loader
+        # (rlvae_tpu/data/native_loader.py) when available; it degrades to
+        # the numpy iterator transparently.
+        if self.config.get("use_native_loader", True):
+            if self._native_loader is None:
+                from rlvae_tpu.data.native_loader import NativeBatchLoader
+
+                self._native_loader = NativeBatchLoader(self.train.data, self.batch_size)
+            yield from self._native_loader.epoch(seed=self.seed + epoch, shuffle=True)
+        else:
+            yield from batch_iterator(
+                self.train.data, self.batch_size, shuffle=True, seed=self.seed + epoch
+            )
 
     def val_batches(self) -> Iterator[np.ndarray]:
         yield from batch_iterator(self.val.data, self.batch_size, shuffle=False)

@@ -1,0 +1,119 @@
+"""ModelManager — the inference/serving API.
+
+Mirrors the surface of the reference's app backend (reference:
+app/backend/model_manager.py:28-381: load default/custom models, encode /
+decode / reconstruct, random + interpolated sampling including spherical and
+linear interpolation, model info) so an interactive app layer can attach.
+All compute paths are jitted once and reused — this is the serving story for
+the framework.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlvae_tpu.models import RlVAE, create_model
+from rlvae_tpu.utils.output import ModelOutput
+
+
+def slerp(t, z1, z2):
+    """Spherical interpolation between latent vectors
+    (reference: model_manager.py interpolation modes)."""
+    z1n = z1 / (jnp.linalg.norm(z1, axis=-1, keepdims=True) + 1e-8)
+    z2n = z2 / (jnp.linalg.norm(z2, axis=-1, keepdims=True) + 1e-8)
+    omega = jnp.arccos(jnp.clip(jnp.sum(z1n * z2n, axis=-1, keepdims=True), -1 + 1e-7, 1 - 1e-7))
+    so = jnp.sin(omega)
+    return (jnp.sin((1.0 - t) * omega) / so) * z1 + (jnp.sin(t * omega) / so) * z2
+
+
+class ModelManager:
+    """Load a trained model and expose encode/decode/sample/interpolate."""
+
+    def __init__(self, model: RlVAE, variables: Dict[str, Any]):
+        self.model = model
+        self.variables = variables
+        self._encode = jax.jit(lambda v, x: model.encode(v, x)[0])
+        self._decode = jax.jit(lambda v, z: model.decode(v, z)[0])
+        self._forward = jax.jit(lambda v, x, k: model.forward(v, x, k))
+
+    # -- constructors ---------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(cls, run_dir: str | Path, model_config: Dict[str, Any],
+                        slot: str = "best") -> "ModelManager":
+        """Load from a Trainer run directory (checkpoints/{best,last})."""
+        from rlvae_tpu.train import CheckpointManager
+
+        model = create_model(model_config)
+        ckpt = CheckpointManager(Path(run_dir) / "checkpoints")
+        state = ckpt.restore(slot)
+        return cls(model, state["variables"])
+
+    @classmethod
+    def from_config(cls, model_config: Dict[str, Any], seed: int = 0) -> "ModelManager":
+        """Fresh (untrained) model — the reference's 'default model' path."""
+        model = create_model(model_config)
+        return cls(model, model.init(jax.random.PRNGKey(seed)))
+
+    # -- core ops -------------------------------------------------------------
+
+    def encode(self, x) -> ModelOutput:
+        """Frame(s) -> (mu, log_covariance)."""
+        out = self._encode(self.variables, jnp.asarray(x, jnp.float32))
+        return out
+
+    def decode(self, z) -> np.ndarray:
+        out = self._decode(self.variables, jnp.asarray(z, jnp.float32))
+        return np.asarray(out.reconstruction)
+
+    def reconstruct(self, x_seq, seed: int = 0) -> np.ndarray:
+        """[B, T, C, H, W] -> reconstructed sequences."""
+        out = self._forward(
+            self.variables, jnp.asarray(x_seq, jnp.float32), jax.random.PRNGKey(seed)
+        )
+        return np.asarray(out.recon_x)
+
+    def embed_sequence(self, x_seq, seed: int = 0) -> np.ndarray:
+        out = self._forward(
+            self.variables, jnp.asarray(x_seq, jnp.float32), jax.random.PRNGKey(seed)
+        )
+        return np.asarray(out.z)
+
+    # -- generation -----------------------------------------------------------
+
+    def sample_random(self, n: int, method: str = "geodesic", seed: int = 0,
+                      n_obs: Optional[int] = None) -> np.ndarray:
+        """Prior samples decoded to sequences (or single frames if n_obs=1)."""
+        x = self.model.generate(
+            self.variables, jax.random.PRNGKey(seed), n, n_obs=n_obs or 8, method=method
+        )
+        return np.asarray(x)
+
+    def sample_latent(self, n: int, method: str = "geodesic", seed: int = 0) -> np.ndarray:
+        return np.asarray(
+            self.model.sample_riemannian_prior(jax.random.PRNGKey(seed), n, method)
+        )
+
+    def interpolate(self, x1, x2, n_steps: int = 10, mode: str = "linear") -> np.ndarray:
+        """Interpolate between two frames in latent space; decode the path.
+
+        mode: 'linear' or 'spherical' (reference: model_manager.py sampling
+        modes incl. slerp)."""
+        mu1 = self.encode(jnp.asarray(x1, jnp.float32)[None]).embedding[0]
+        mu2 = self.encode(jnp.asarray(x2, jnp.float32)[None]).embedding[0]
+        ts = jnp.linspace(0.0, 1.0, n_steps)[:, None]
+        if mode == "spherical":
+            zs = jax.vmap(lambda t: slerp(t, mu1, mu2))(ts[:, 0])
+        else:
+            zs = (1.0 - ts) * mu1[None] + ts * mu2[None]
+        return self.decode(zs)
+
+    # -- info -----------------------------------------------------------------
+
+    def get_model_info(self) -> Dict[str, Any]:
+        return self.model.get_model_summary(self.variables)

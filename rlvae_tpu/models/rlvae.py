@@ -116,6 +116,56 @@ class RlVAE:
             },
         }
 
+    def load_pretrained_components(
+        self,
+        variables: Dict[str, Any],
+        encoder_path: Optional[str] = None,
+        decoder_path: Optional[str] = None,
+    ) -> Dict[str, Any]:
+        """Load pretrained encoder/decoder weights into the state
+        (reference: riemannian_flow_vae.py:921-942, encoder_manager.py:260-326
+        with its key-prefix tolerance).  Accepts component .npz (native) or
+        torch .pt state dicts (converted on the fly)."""
+        from pathlib import Path as _Path
+
+        from rlvae_tpu.data import convert as _convert
+
+        def load_any(path, kind):
+            p = _Path(path)
+            for cand in (p, p.with_suffix(".npz"), p.with_suffix(".pt")):
+                if cand.exists():
+                    p = cand
+                    break
+            else:
+                raise FileNotFoundError(f"Pretrained {kind} not found: {path}")
+            if p.suffix == ".npz":
+                return _convert.load_component_npz(p)["params"]
+            raw = _convert._torch_load(p)
+            sd = _convert.state_dict_to_numpy(
+                raw if not hasattr(raw, "state_dict") else raw.state_dict()
+            )
+            conv = (
+                _convert.torch_mlp_encoder_to_flax(sd)
+                if kind == "encoder"
+                else _convert.torch_mlp_decoder_to_flax(sd)
+            )
+            return conv["params"]
+
+        params = dict(variables["params"])
+        for kind, path in (("encoder", encoder_path), ("decoder", decoder_path)):
+            if path is None:
+                continue
+            loaded = jax.tree_util.tree_map(jnp.asarray, load_any(path, kind))
+            current = params[kind]
+            cur_shapes = jax.tree_util.tree_map(jnp.shape, current)
+            new_shapes = jax.tree_util.tree_map(lambda a: tuple(a.shape), loaded)
+            if cur_shapes != new_shapes:
+                raise ValueError(
+                    f"Pretrained {kind} shapes {new_shapes} do not match model {cur_shapes}"
+                )
+            params[kind] = loaded
+        return {**variables, "params": params}
+
     def load_pretrained_metric(
         self,
         path: str,

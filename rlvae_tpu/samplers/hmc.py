@@ -84,10 +84,12 @@ def sample_prior_hmc(
     else:
         z0 = jax.random.normal(k_init, (num_samples, d))
 
+    # The gradient at the end of one leapfrog step equals the gradient at the
+    # start of the next (same z), so it is carried instead of recomputed —
+    # numerically identical to the reference's double evaluation
+    # (pythae rhvae_sampler.py:113-128) at half the kernel invocations.
     def leapfrog_step(carry, k):
-        z, rho, beta_sqrt_old = carry
-        _, grad = terms(z)
-        g = -grad
+        z, rho, g, beta_sqrt_old = carry
         rho_half = rho - (eps_lf / 2.0) * g
         z = z + eps_lf * rho_half
         _, grad = terms(z)
@@ -95,19 +97,18 @@ def sample_prior_hmc(
         rho_full = rho_half - (eps_lf / 2.0) * g
         beta_sqrt = tempering(k + 1.0, config.n_lf, beta_zero_sqrt)
         rho = (beta_sqrt_old / beta_sqrt) * rho_full
-        return (z, rho, beta_sqrt), None
+        return (z, rho, g, beta_sqrt), None
 
     def mcmc_step(carry, step_key):
-        z0_s, beta_sqrt_old = carry
+        z0_s, logpi0_s, g0_s, beta_sqrt_old = carry
         k_mom, k_acc = jax.random.split(step_key)
         gamma = jax.random.normal(k_mom, z0_s.shape)
         rho = gamma / beta_zero_sqrt
-        logpi0, _ = terms(z0_s)
-        h0 = -logpi0 + 0.5 * jnp.sum(rho**2, axis=1)
+        h0 = -logpi0_s + 0.5 * jnp.sum(rho**2, axis=1)
 
-        (z, rho, beta_sqrt_old), _ = jax.lax.scan(
+        (z, rho, g, beta_sqrt_old), _ = jax.lax.scan(
             leapfrog_step,
-            (z0_s, rho, beta_sqrt_old),
+            (z0_s, rho, g0_s, beta_sqrt_old),
             jnp.arange(config.n_lf, dtype=jnp.float32),
         )
 
@@ -115,11 +116,17 @@ def sample_prior_hmc(
         h = -logpi + 0.5 * jnp.sum(rho**2, axis=1)
         alpha = jnp.exp(-h) / jnp.exp(-h0)
         accept = jax.random.uniform(k_acc, (z.shape[0],)) < alpha
-        z = jnp.where(accept[:, None], z, z0_s)
-        return (z, beta_sqrt_old), None
+        mask = accept[:, None]
+        z_new = jnp.where(mask, z, z0_s)
+        logpi_new = jnp.where(accept, logpi, logpi0_s)
+        g_new = jnp.where(mask, g, g0_s)
+        return (z_new, logpi_new, g_new, beta_sqrt_old), None
 
+    logpi0, grad0 = terms(z0)
     keys = jax.random.split(k_chain, config.mcmc_steps)
-    (z, _), _ = jax.lax.scan(mcmc_step, (z0, beta_zero_sqrt), keys)
+    (z, _, _, _), _ = jax.lax.scan(
+        mcmc_step, (z0, logpi0, -grad0, beta_zero_sqrt), keys
+    )
     return z
 
 
