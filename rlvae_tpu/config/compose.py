@@ -171,12 +171,23 @@ def _split_csv(raw: str) -> List[str]:
     return parts
 
 
+_SCI_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
+def coerce_scalar(value):
+    """YAML 1.1 parses bare scientific notation like ``3e-4`` as a string
+    (it requires ``3.0e-4``); coerce such strings to floats."""
+    if isinstance(value, str) and _SCI_RE.match(value.strip()):
+        return float(value)
+    return value
+
+
 def _parse_value(raw: str):
     raw = raw.strip()
     if raw == "null":
         return None
     try:
-        return yaml.safe_load(raw)
+        return coerce_scalar(yaml.safe_load(raw))
     except yaml.YAMLError:
         return raw
 

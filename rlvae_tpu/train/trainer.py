@@ -56,7 +56,7 @@ def _merge_stats(variables, out):
     return variables
 
 
-def make_train_step(model: RlVAE, optimizer) -> Callable:
+def make_train_step(model: RlVAE, optimizer, nan_checks: bool = False) -> Callable:
     def train_step(variables, opt_state, batch, key):
         def loss_fn(params):
             vs = {**variables, "params": params}
@@ -78,6 +78,20 @@ def make_train_step(model: RlVAE, optimizer) -> Callable:
             "grad_norm": optax.global_norm(grads),
         }
         return variables, opt_state, metrics
+
+    if nan_checks:
+        # debug mode: checkify float checks pinpoint the first NaN/Inf op;
+        # donation is disabled so buffers survive for the error report
+        from jax.experimental import checkify
+
+        checked = jax.jit(checkify.checkify(train_step, errors=checkify.float_checks))
+
+        def wrapper(variables, opt_state, batch, key):
+            err, out = checked(variables, opt_state, batch, key)
+            err.throw()
+            return out
+
+        return wrapper
 
     return jax.jit(train_step, donate_argnums=(0, 1))
 
@@ -135,8 +149,11 @@ class Trainer:
             self.run_dir / "checkpoints", model.get_model_summary()
         )
 
-        self._train_step = make_train_step(model, self.optimizer)
+        self._train_step = make_train_step(
+            model, self.optimizer, nan_checks=bool(self.cfg.get("debug_nan_checks", False))
+        )
         self._eval_step = make_eval_step(model)
+        self.profile = bool(trainer_cfg.get("profile", False))
         self.history: list[Dict[str, float]] = []
 
     # -- loop ----------------------------------------------------------------
@@ -152,27 +169,37 @@ class Trainer:
         opt_state = replicate(self.mesh, opt_state)
         bsharding = batch_sharding(self.mesh)
 
+        from rlvae_tpu.utils.profiling import StepTimer, trace
+
         best_val = float("inf")
         step = 0
         stop = False
         t_start = time.time()
+        timer = StepTimer()
         for epoch in range(self.max_epochs):
             t_epoch = time.time()
             train_metrics: list = []
-            for batch in self.data.train_batches(epoch):
-                if batch.shape[0] % self.n_devices != 0:
-                    continue  # drop remainder for even sharding
-                key, k_step = jax.random.split(key)
-                device_batch = jax.device_put(jnp.asarray(batch), bsharding)
-                variables, opt_state, metrics = self._train_step(
-                    variables, opt_state, device_batch, k_step
-                )
-                train_metrics.append(metrics)
-                step += 1
-                if step % self.log_every == 0:
-                    host = {f"train/{k}": float(v) for k, v in metrics.items()}
-                    host["lr"] = get_lr(opt_state)
-                    self.logger.log(host, step=step)
+            profiling_this_epoch = self.profile and epoch == 0
+            with trace(self.run_dir / "profile", enabled=profiling_this_epoch):
+                for batch in self.data.train_batches(epoch):
+                    if batch.shape[0] % self.n_devices != 0:
+                        continue  # drop remainder for even sharding
+                    key, k_step = jax.random.split(key)
+                    device_batch = jax.device_put(jnp.asarray(batch), bsharding)
+                    timer.start()
+                    variables, opt_state, metrics = self._train_step(
+                        variables, opt_state, device_batch, k_step
+                    )
+                    if step % self.log_every == 0:
+                        jax.block_until_ready(metrics)
+                    timer.stop()
+                    train_metrics.append(metrics)
+                    step += 1
+                    if step % self.log_every == 0:
+                        host = {f"train/{k}": float(v) for k, v in metrics.items()}
+                        host["lr"] = get_lr(opt_state)
+                        host.update(timer.metrics())
+                        self.logger.log(host, step=step)
 
             val_metrics = self.evaluate("val", key=jax.random.fold_in(key, epoch), variables=variables)
             val_loss = val_metrics.get("loss", float("nan"))

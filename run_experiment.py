@@ -167,9 +167,11 @@ class ExperimentRunner:
         expanded in-process)."""
         import itertools
 
+        from rlvae_tpu.config.compose import coerce_scalar
+
         sweep = self.config.experiment.get("sweep") or {}
         params = sweep.get("parameters") or {}
-        axes = {k: list(v["values"]) for k, v in params.items()}
+        axes = {k: [coerce_scalar(x) for x in v["values"]] for k, v in params.items()}
         max_runs = int(self.config.get("experiment.max_runs", 50))
         combos = list(itertools.product(*axes.values()))[:max_runs]
         print(f"[rlvae] sweep: {len(combos)} runs over {list(axes)}")

@@ -26,6 +26,23 @@ def import_pythae():
     return pythae
 
 
+def import_reference_src():
+    """Make the reference's `src` package importable (needs stubs for
+    omegaconf, which its component managers import at module level)."""
+    import_pythae()
+    if "omegaconf" not in sys.modules:
+        stub = types.ModuleType("omegaconf")
+        stub.DictConfig = dict
+        stub.OmegaConf = type("OmegaConf", (), {})
+        stub.ListConfig = list
+        sys.modules["omegaconf"] = stub
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import src.models  # noqa: F401
+
+    return sys.modules["src.models"]
+
+
 class TorchMetricModel:
     """Minimal stand-in exposing the attributes pythae's metric closures read
     (M_tens, centroids_tens, temperature, lbd, latent_dim)."""

@@ -149,3 +149,30 @@ def test_torch_parity(reference_available):
     np.testing.assert_allclose(
         np.asarray(ld_inv_ours), inv_ref.log_abs_det_jac.numpy(), rtol=1e-4, atol=1e-5
     )
+
+
+def test_batchnorm_flow_roundtrip():
+    from rlvae_tpu.flows.batchnorm import (
+        batchnorm_forward,
+        batchnorm_inverse,
+        init_batchnorm,
+    )
+
+    params, state = init_batchnorm(6)
+    params = {k: v + 0.1 for k, v in params.items()}  # non-trivial transform
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 6)) * 2.0 + 1.0
+
+    # eval mode: exact inverse with running stats
+    y, ld_f, _ = batchnorm_forward(params, state, x, train=False)
+    x_back, ld_i = batchnorm_inverse(params, state, y, train=False)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_f + ld_i), 0.0, atol=1e-5)
+
+    # training mode: running stats move toward batch stats
+    y, ld, new_state = batchnorm_forward(params, state, x, train=True)
+    assert float(jnp.abs(new_state["running_mean"]).max()) > 0.0
+    # normalized output has ~zero mean / unit pre-scale variance
+    pre = (y - params["beta"]) * jnp.exp(-params["log_gamma"])
+    np.testing.assert_allclose(float(pre.mean()), 0.0, atol=1e-5)
+    x_back, _ = batchnorm_inverse(params, new_state, y, train=True)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), rtol=1e-4, atol=1e-4)

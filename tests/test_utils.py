@@ -1,0 +1,72 @@
+"""Tests for aux subsystems: profiling, NaN-check debug mode, logging."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rlvae_tpu.utils.debug import add_nan_checks, assert_finite_tree
+from rlvae_tpu.utils.logging import MetricsLogger
+from rlvae_tpu.utils.profiling import StepTimer, timed
+
+
+def test_step_timer():
+    t = StepTimer()
+    for _ in range(5):
+        t.start()
+        t.stop()
+    m = t.metrics()
+    assert set(m) == {"step_time_avg", "step_time_p50", "step_time_p99", "steps_per_sec"}
+    assert m["steps_per_sec"] > 0
+
+
+def test_timed_wrapper():
+    f = timed(lambda x: x * 2, sync=False)
+    assert f(3) == 6 and f(4) == 8
+    assert f.calls == 2 and f.mean_time >= 0
+
+
+def test_nan_checks_catch():
+    f = add_nan_checks(jax.jit(lambda x: jnp.log(x)))
+    # fine on positive input
+    out = f(jnp.asarray([1.0, 2.0]))
+    assert np.isfinite(np.asarray(out)).all()
+    # NaN produced -> raises with location info
+    with pytest.raises(Exception, match="nan|inf"):
+        f(jnp.asarray([-1.0]))
+
+
+def test_nan_checked_train_step():
+    from rlvae_tpu.models import RlVAE
+    from rlvae_tpu.train import make_optimizer
+    from rlvae_tpu.train.trainer import make_train_step
+
+    model = RlVAE(input_dim=(3, 4, 4), latent_dim=4, n_flows=0,
+                  posterior_type="gaussian", use_riemannian=False)
+    variables = model.init(jax.random.PRNGKey(0), n_obs=2)
+    opt = make_optimizer(1e-3)
+    step = make_train_step(model, opt, nan_checks=True)
+    batch = jnp.zeros((2, 2, 3, 4, 4)) + 0.5
+    v, o, m = step(variables, opt.init(variables["params"]), batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_assert_finite_tree():
+    assert_finite_tree({"a": jnp.ones(3)})
+    with pytest.raises(FloatingPointError, match="a"):
+        assert_finite_tree({"a": jnp.asarray([jnp.nan])})
+
+
+def test_metrics_logger(tmp_path):
+    logger = MetricsLogger(tmp_path, mode="disabled")
+    logger.log({"loss": 1.5, "note": "hi"}, step=3)
+    logger.log_table("tbl", [{"model": "a", "x": 1}])
+    logger.summary({"best": 0.5})
+    logger.finish()
+    lines = (tmp_path / "metrics.jsonl").read_text().strip().split("\n")
+    rec = json.loads(lines[0])
+    assert rec["loss"] == 1.5 and rec["_step"] == 3
+    assert json.loads((tmp_path / "tbl.json").read_text())[0]["model"] == "a"
+    assert json.loads((tmp_path / "summary.json").read_text())["best"] == 0.5
