@@ -18,11 +18,24 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from rlvae_tpu.flows.iaf import iaf_forward, iaf_masks, init_iaf
+from rlvae_tpu.flows.iaf import iaf_forward, iaf_inverse, iaf_masks, init_iaf
 
 
 class TemporalFlowConfig:
-    """Static configuration (masks included) for the temporal chain."""
+    """Static configuration (masks included) for the temporal chain.
+
+    ``direction`` selects which IAF pass acts as the temporal map
+    z_{t-1} -> z_t:
+
+    - ``"density"`` (reference parity): the D-step autoregressive pass the
+      reference's FlowManager uses (flow_manager.py:45-56 calls
+      ``flow(z)``, pythae's density direction) — sequential in D.
+    - ``"sampling"`` (TPU-first option): the IAF's parallel single-pass
+      direction, its intended generative use.  Same model family (an
+      invertible map with tractable log|det J|), ~D x fewer sequential MADE
+      evaluations per timestep; selected with ``model.flow_direction:
+      sampling`` in configs.
+    """
 
     def __init__(
         self,
@@ -31,12 +44,16 @@ class TemporalFlowConfig:
         hidden_size: int = 256,
         n_blocks: int = 2,
         n_hidden: int = 3,
+        direction: str = "density",
     ):
+        if direction not in ("density", "sampling"):
+            raise ValueError("direction must be 'density' or 'sampling'")
         self.latent_dim = latent_dim
         self.n_flows = n_flows
         self.hidden_size = hidden_size
         self.n_blocks = n_blocks
         self.n_hidden = n_hidden
+        self.direction = direction
         self.masks = iaf_masks(latent_dim, hidden_size, n_hidden) if n_flows > 0 else []
 
     def init(self, key: jax.Array) -> List[List[Dict[str, jax.Array]]]:
@@ -62,11 +79,12 @@ def apply_temporal_flows(
         z_seq: [B, n_obs, D] (z_seq[:, 0] == z0)
         log_dets: [B, n_obs - 1] per-transition log|det J|
     """
+    step_fn = iaf_forward if config.direction == "density" else iaf_inverse
     zs = [z0]
     lds = []
     for t in range(1, n_obs):
         idx = min(t - 1, len(flows) - 1)  # reuse last flow beyond n_flows
-        z_t, ld = iaf_forward(flows[idx], config.masks, zs[-1])
+        z_t, ld = step_fn(flows[idx], config.masks, zs[-1])
         zs.append(z_t)
         lds.append(ld)
     z_seq = jnp.stack(zs, axis=1)

@@ -52,6 +52,7 @@ def create_model(config: Mapping[str, Any], name: Optional[str] = None) -> RlVAE
         use_riemannian=bool(sampling.get("use_riemannian", False)),
         loop_mode=str(loop.get("mode", "open")),
         loop_penalty=float(loop.get("penalty", 0.0)),
+        flow_direction=str(config.get("flow_direction", "density")),
         encoder_config=_node(config, "encoder"),
         decoder_config=_node(config, "decoder"),
         name=name or str(config.get("name", "rlvae")),

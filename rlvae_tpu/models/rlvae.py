@@ -65,6 +65,7 @@ class RlVAE:
         use_riemannian: bool = True,
         loop_mode: str = "open",
         loop_penalty: float = 5.0,
+        flow_direction: str = "density",
         encoder_config: Optional[Mapping[str, Any]] = None,
         decoder_config: Optional[Mapping[str, Any]] = None,
         metric: Optional[CentroidMetric] = None,
@@ -89,7 +90,8 @@ class RlVAE:
         self.encoder = create_encoder(self.input_dim, latent_dim, encoder_config)
         self.decoder = create_decoder(self.input_dim, latent_dim, decoder_config)
         self.flow_config = TemporalFlowConfig(
-            latent_dim, n_flows, flow_hidden_size, flow_n_blocks, flow_n_hidden
+            latent_dim, n_flows, flow_hidden_size, flow_n_blocks, flow_n_hidden,
+            direction=flow_direction,
         )
         self.metric = metric
 
@@ -319,6 +321,54 @@ class RlVAE:
             z_seq = jnp.repeat(z0[:, None, :], n_obs, axis=1)
         dec_out, _ = self.decode(variables, z_seq.reshape(-1, self.latent_dim))
         return dec_out.reconstruction.reshape(num_samples, n_obs, *self.input_dim)
+
+    def estimate_nll(
+        self,
+        variables: Dict[str, Any],
+        x: Array,
+        key: Array,
+        n_samples: int = 50,
+    ) -> Array:
+        """Importance-sampled negative log-likelihood per sequence, [B].
+
+        Estimates -log p(x) = -log E_{q(z0|x0)}[ p(x|z0) p(z0) / q(z0|x0) ]
+        with S posterior samples and a logsumexp average (reference: pythae
+        vae_model.py get_nll / rhvae_model.py:486+ importance-sampled NLL,
+        adapted to the sequence generative model where z_{t>0} are
+        deterministic flow images of z0)."""
+        import math
+
+        b, n_obs = x.shape[0], x.shape[1]
+        d = self.latent_dim
+        enc_out, _ = self.encode(variables, x[:, 0])
+        mu, log_var = enc_out.embedding, enc_out.log_covariance
+        std = jnp.exp(0.5 * log_var)
+
+        def one_sample(k):
+            eps = jax.random.normal(k, mu.shape)
+            z0 = mu + eps * std
+            if self.n_flows > 0:
+                z_seq, _ = apply_temporal_flows(
+                    self.flow_config, variables["params"]["flows"], z0, n_obs
+                )
+            else:
+                z_seq = jnp.repeat(z0[:, None, :], n_obs, axis=1)
+            dec_out, _ = self.decode(variables, z_seq.reshape(b * n_obs, d))
+            recon = dec_out.reconstruction.reshape(b, n_obs, *self.input_dim)
+            # unit-variance Gaussian observation model
+            log_px_z = -0.5 * jnp.sum(
+                (recon - x).reshape(b, -1) ** 2, axis=1
+            ) - 0.5 * x[0].size * math.log(2 * math.pi)
+            log_pz = -0.5 * jnp.sum(z0**2, axis=1) - 0.5 * d * math.log(2 * math.pi)
+            log_qz = (
+                -0.5 * jnp.sum(eps**2, axis=1)
+                - 0.5 * d * math.log(2 * math.pi)
+                - 0.5 * jnp.sum(log_var, axis=1)
+            )
+            return log_px_z + log_pz - log_qz
+
+        log_w = jax.lax.map(one_sample, jax.random.split(key, n_samples))  # [S, B]
+        return -(jax.scipy.special.logsumexp(log_w, axis=0) - jnp.log(float(n_samples)))
 
     # -- introspection -------------------------------------------------------
 

@@ -158,12 +158,29 @@ class Trainer:
 
     # -- loop ----------------------------------------------------------------
 
-    def fit(self, variables: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    def fit(
+        self, variables: Optional[Dict[str, Any]] = None, resume: bool = False
+    ) -> Dict[str, Any]:
         key = jax.random.PRNGKey(self.seed)
+        start_epoch = 0
+        opt_state = None
+        if resume and self.checkpoints.exists("last"):
+            restored = self.checkpoints.restore("last")
+            variables = restored["variables"]
+            # opt_state is stored as flat leaves; rebuild the optax NamedTuple
+            # structure from a freshly initialized state's treedef
+            if "opt_leaves" in restored:
+                tmpl = self.optimizer.init(variables["params"])
+                treedef = jax.tree_util.tree_structure(tmpl)
+                leaves = [restored["opt_leaves"][str(i)] for i in range(treedef.num_leaves)]
+                opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+            start_epoch = int(restored.get("epoch", -1)) + 1
+            print(f"[rlvae] resuming from epoch {start_epoch}")
         if variables is None:
             k_init, key = jax.random.split(key)
             variables = self.model.init(k_init)
-        opt_state = self.optimizer.init(variables["params"])
+        if opt_state is None:
+            opt_state = self.optimizer.init(variables["params"])
 
         variables = replicate(self.mesh, variables)
         opt_state = replicate(self.mesh, opt_state)
@@ -176,7 +193,8 @@ class Trainer:
         stop = False
         t_start = time.time()
         timer = StepTimer()
-        for epoch in range(self.max_epochs):
+        epoch = start_epoch - 1
+        for epoch in range(start_epoch, self.max_epochs):
             t_epoch = time.time()
             train_metrics: list = []
             profiling_this_epoch = self.profile and epoch == 0
@@ -235,7 +253,20 @@ class Trainer:
             if stop:
                 break
 
-        self.checkpoints.save("last", {"variables": variables, "step": step, "val_loss": best_val})
+        opt_leaves = {
+            str(i): leaf
+            for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state))
+        }
+        self.checkpoints.save(
+            "last",
+            {
+                "variables": variables,
+                "opt_leaves": opt_leaves,
+                "step": step,
+                "epoch": epoch,
+                "val_loss": best_val,
+            },
+        )
         result = {
             "variables": variables,
             "best_val_loss": best_val,

@@ -155,3 +155,23 @@ def test_model_summary(riemannian_model):
     assert s["architecture"]["latent_dim"] == 16
     assert s["metric"]["n_centroids"] == 50
     assert s["parameter_count"] > 0
+
+
+def test_flow_direction_option():
+    """TPU-first option: the IAF's parallel (sampling) pass as the temporal map."""
+    m = RlVAE(
+        **SMALL, posterior_type="gaussian", sampling_method="standard",
+        use_riemannian=False, flow_direction="sampling",
+    )
+    variables = m.init(jax.random.PRNGKey(0))
+    out = m.forward(variables, _batch(), jax.random.PRNGKey(1))
+    assert np.isfinite(float(out.loss))
+    # direction genuinely changes the temporal map vs density mode
+    m2 = RlVAE(
+        **SMALL, posterior_type="gaussian", sampling_method="standard",
+        use_riemannian=False, flow_direction="density",
+    )
+    out2 = m2.forward(variables, _batch(), jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(out.z[:, 1]), np.asarray(out2.z[:, 1]))
+    with pytest.raises(ValueError, match="direction"):
+        RlVAE(**SMALL, flow_direction="bogus")
