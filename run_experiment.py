@@ -69,6 +69,10 @@ class ExperimentRunner:
         if list(model_cfg.get("input_dim", data_dim)) != data_dim:
             print(f"[rlvae] overriding model.input_dim {model_cfg['input_dim']} -> {data_dim} (from data config)")
             model_cfg = {**model_cfg, "input_dim": data_dim}
+            # persist the reconciled value so the saved config matches the
+            # trained checkpoints (the app/ModelManager rebuild from it)
+            self.config.set("model.input_dim", data_dim)
+            save_config(self.config, run_dir / "config.yaml")
 
         model = create_model(model_cfg, name=run_name)
         logger = MetricsLogger(
