@@ -152,7 +152,9 @@ class CyclicDataModule:
                 return cand
         return None
 
-    def _load_or_synthesize(self, key: str, n_default: int, seed: int) -> np.ndarray:
+    def _load_or_synthesize(
+        self, key: str, n_default: int, seed: int, n_needed: Optional[int] = None
+    ) -> np.ndarray:
         path = self._resolve(key)
         if path is not None:
             return _load_array(path)
@@ -160,8 +162,10 @@ class CyclicDataModule:
             raise FileNotFoundError(f"Dataset file for '{key}' not found: {self.config.get(key)}")
         from rlvae_tpu.data.synth import generate_cyclic_sequences
 
+        # don't synthesize more sequences than the run will actually use
+        n = n_default if n_needed is None else min(n_default, int(n_needed))
         return generate_cyclic_sequences(
-            n_default,
+            n,
             n_obs=int(self.config.get("sequence_length", 8)),
             image_size=tuple(self.config.get("image_size", (64, 64))),
             channels=int(self.config.get("channels", 3)),
@@ -180,7 +184,8 @@ class CyclicDataModule:
         thresh = float(self.config.get("cyclicity_threshold", 0.01))
 
         train_raw = self._load_or_synthesize(
-            "train_path", int(self.config.get("synthetic_n_train", 1000)), self.seed
+            "train_path", int(self.config.get("synthetic_n_train", 1000)), self.seed,
+            n_needed=n_train,
         )
         test_raw = self._load_or_synthesize(
             "test_path", int(self.config.get("synthetic_n_test", 200)), self.seed + 1

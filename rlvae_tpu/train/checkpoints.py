@@ -22,7 +22,12 @@ def _to_numpy_tree(tree):
 
 
 class CheckpointManager:
-    def __init__(self, directory: str | Path, model_config: Optional[Dict[str, Any]] = None):
+    def __init__(
+        self,
+        directory: str | Path,
+        model_config: Optional[Dict[str, Any]] = None,
+        use_async: bool = True,
+    ):
         self.directory = Path(directory)
         self.directory.mkdir(parents=True, exist_ok=True)
         if model_config is not None:
@@ -31,13 +36,24 @@ class CheckpointManager:
             )
         import orbax.checkpoint as ocp
 
-        self._ckptr = ocp.PyTreeCheckpointer()
+        # async saves overlap checkpoint IO with the next epochs; wait_until
+        # points are before restore and at manager teardown
+        if use_async:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        else:
+            self._ckptr = ocp.PyTreeCheckpointer()
 
     def save(self, slot: str, state: Dict[str, Any]) -> None:
         path = (self.directory / slot).resolve()
+        self.wait()
         self._ckptr.save(path, _to_numpy_tree(state), force=True)
 
+    def wait(self) -> None:
+        if hasattr(self._ckptr, "wait_until_finished"):
+            self._ckptr.wait_until_finished()
+
     def restore(self, slot: str, template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+        self.wait()
         path = (self.directory / slot).resolve()
         if template is not None:
             import orbax.checkpoint as ocp

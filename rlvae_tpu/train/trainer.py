@@ -214,7 +214,9 @@ class Trainer:
                     train_metrics.append(metrics)
                     step += 1
                     if step % self.log_every == 0:
-                        host = {f"train/{k}": float(v) for k, v in metrics.items()}
+                        # one device->host transfer for the whole metrics dict
+                        fetched = jax.device_get(metrics)
+                        host = {f"train/{k}": float(v) for k, v in fetched.items()}
                         host["lr"] = get_lr(opt_state)
                         host.update(timer.metrics())
                         self.logger.log(host, step=step)
@@ -267,6 +269,7 @@ class Trainer:
                 "val_loss": best_val,
             },
         )
+        self.checkpoints.wait()  # flush any async save before reporting
         result = {
             "variables": variables,
             "best_val_loss": best_val,
@@ -295,8 +298,8 @@ class Trainer:
         for i, batch in enumerate(batches):
             if batch.shape[0] % self.n_devices != 0:
                 continue
-            metrics = self._eval_step(
-                variables, jnp.asarray(batch), jax.random.fold_in(key, i)
+            metrics = jax.device_get(
+                self._eval_step(variables, jnp.asarray(batch), jax.random.fold_in(key, i))
             )
             for k, v in metrics.items():
                 acc.setdefault(k, []).append(float(v))

@@ -14,6 +14,17 @@ class BaseVisualization:
         self.config = config
         self.output_dir = Path(output_dir)
         self.logger = logger
+        self._jit_forward = None
+
+    def forward(self, model, variables, x, key):
+        """Jitted model forward, compiled once per module (an eager forward
+        here would re-dispatch hundreds of ops on every viz epoch)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._jit_forward is None:
+            self._jit_forward = jax.jit(lambda v, xx, k: model.forward(v, xx, k))
+        return self._jit_forward(variables, jnp.asarray(x), key)
 
     def _path(self, epoch: int, name: str, ext: str = "png") -> Path:
         d = self.output_dir / f"epoch_{epoch:03d}"

@@ -24,25 +24,24 @@ class BasicVisualizations(BaseVisualization):
         import matplotlib.pyplot as plt
 
         x = np.asarray(sample_batch, np.float32)
-        out = model.forward(variables, x, jax.random.PRNGKey(epoch))
+        out = self.forward(model, variables, x, jax.random.PRNGKey(epoch))
         recon = np.asarray(out.recon_x)
         z = np.asarray(out.z)
         written = []
 
-        # 1. Reconstruction grid: originals vs reconstructions over time
+        # 1. Reconstruction grid as a single montage imshow (one axes; a
+        # subplot per frame is ~30x slower on matplotlib)
         n_show = min(4, x.shape[0])
         t_show = x.shape[1]
-        fig, axes = plt.subplots(2 * n_show, t_show, figsize=(1.4 * t_show, 2.8 * n_show))
-        axes = np.atleast_2d(axes)
+        rows = []
         for i in range(n_show):
-            for t in range(t_show):
-                axes[2 * i, t].imshow(_to_img(x[i, t]))
-                axes[2 * i + 1, t].imshow(_to_img(recon[i, t]))
-                for ax in (axes[2 * i, t], axes[2 * i + 1, t]):
-                    ax.set_xticks([]), ax.set_yticks([])
-            axes[2 * i, 0].set_ylabel("orig", fontsize=8)
-            axes[2 * i + 1, 0].set_ylabel("recon", fontsize=8)
-        fig.suptitle(f"Reconstructions (epoch {epoch})")
+            rows.append(np.concatenate([_to_img(x[i, t]) for t in range(t_show)], axis=1))
+            rows.append(np.concatenate([_to_img(recon[i, t]) for t in range(t_show)], axis=1))
+        montage = np.concatenate(rows, axis=0)
+        fig, ax = plt.subplots(figsize=(1.4 * t_show, 1.4 * 2 * n_show))
+        ax.imshow(montage)
+        ax.set_xticks([]), ax.set_yticks([])
+        ax.set_title(f"Reconstructions (epoch {epoch}) — orig/recon row pairs")
         written.append(self.save_figure(fig, epoch, "reconstructions"))
 
         # 2. Cyclicity analysis: first-vs-last MSE for orig / recon / latent

@@ -29,7 +29,7 @@ class FlowAnalysisVisualizations(BaseVisualization):
         from rlvae_tpu.flows import iaf_forward
 
         x = np.asarray(sample_batch, np.float32)
-        out = model.forward(variables, x, jax.random.PRNGKey(epoch))
+        out = self.forward(model, variables, x, jax.random.PRNGKey(epoch))
         z = np.asarray(out.z)  # [B, T, D]
         written = []
         flows = variables["params"]["flows"]

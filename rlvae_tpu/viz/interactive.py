@@ -69,7 +69,7 @@ class InteractiveVisualizations(BaseVisualization):
         import json
 
         x = np.asarray(sample_batch, np.float32)[:4]
-        out = model.forward(variables, x, jax.random.PRNGKey(epoch))
+        out = self.forward(model, variables, x, jax.random.PRNGKey(epoch))
         recon = np.asarray(out.recon_x)
         written = []
 

@@ -27,7 +27,7 @@ class ManifoldVisualizations(BaseVisualization):
         from rlvae_tpu.geometry import log_sqrt_det_g_inv
 
         x = np.asarray(sample_batch, np.float32)
-        out = model.forward(variables, x, jax.random.PRNGKey(epoch))
+        out = self.forward(model, variables, x, jax.random.PRNGKey(epoch))
         z = np.asarray(out.z)  # [B, T, D]
         written = []
 

@@ -146,6 +146,7 @@ def test_checkpoint_manager_roundtrip(tmp_path):
     mm = ModelManager.from_config(cfg)
     ckpt = CheckpointManager(tmp_path / "checkpoints")
     ckpt.save("best", {"variables": mm.variables, "step": 0, "val_loss": 1.0})
+    ckpt.wait()  # saves are async; flush before readers with other handles
     mm2 = ModelManager.from_checkpoint(tmp_path, cfg)
     a = jax.tree_util.tree_leaves(mm.variables["params"])
     b = jax.tree_util.tree_leaves(mm2.variables["params"])
