@@ -184,13 +184,23 @@ class RlVAE:
 
     # -- forward -------------------------------------------------------------
 
-    def _apply_net(self, module, variables: Dict[str, Any], which: str, arg: Array, train: bool):
+    def _apply_net(
+        self,
+        module,
+        variables: Dict[str, Any],
+        which: str,
+        arg: Array,
+        train: bool,
+        rng: Optional[Array] = None,
+    ):
         fvars = {"params": variables["params"][which]}
         has_stats = bool(variables.get("stats", {}).get(which))
         kwargs = {}
         if has_stats:
             fvars["batch_stats"] = variables["stats"][which]
             kwargs["train"] = train
+        if train and rng is not None:
+            kwargs["rngs"] = {"dropout": rng}
         out = module.apply(
             fvars,
             arg,
@@ -203,11 +213,17 @@ class RlVAE:
             return result, dict(mutated).get("batch_stats", {})
         return out, {}
 
-    def encode(self, variables: Dict[str, Any], x0: Array, train: bool = False):
-        return self._apply_net(self.encoder, variables, "encoder", x0, train)
+    def encode(
+        self, variables: Dict[str, Any], x0: Array, train: bool = False,
+        rng: Optional[Array] = None,
+    ):
+        return self._apply_net(self.encoder, variables, "encoder", x0, train, rng)
 
-    def decode(self, variables: Dict[str, Any], z: Array, train: bool = False):
-        return self._apply_net(self.decoder, variables, "decoder", z, train)
+    def decode(
+        self, variables: Dict[str, Any], z: Array, train: bool = False,
+        rng: Optional[Array] = None,
+    ):
+        return self._apply_net(self.decoder, variables, "decoder", z, train, rng)
 
     def sample_z0(self, key: Array, mu: Array, log_var: Array) -> Array:
         """Posterior sampling switch (reference: riemannian_flow_vae.py:1111-1161)."""
@@ -233,8 +249,9 @@ class RlVAE:
         batch_size, n_obs = x.shape[0], x.shape[1]
         k_sample, k_drop = jax.random.split(key)
 
+        k_drop_enc, k_drop_dec = jax.random.split(k_drop)
         x0 = x[:, 0]
-        enc_out, enc_updates = self.encode(variables, x0, train=train)
+        enc_out, enc_updates = self.encode(variables, x0, train=train, rng=k_drop_enc)
         mu, log_var = enc_out.embedding, enc_out.log_covariance
 
         z0 = self.sample_z0(k_sample, mu, log_var)
@@ -252,7 +269,7 @@ class RlVAE:
             z_seq = z_seq.at[:, -1].set(z_seq[:, 0])
 
         z_flat = z_seq.reshape(batch_size * n_obs, self.latent_dim)
-        dec_out, dec_updates = self.decode(variables, z_flat, train=train)
+        dec_out, dec_updates = self.decode(variables, z_flat, train=train, rng=k_drop_dec)
         recon = dec_out.reconstruction.reshape(batch_size, n_obs, *self.input_dim)
 
         recon_loss = losses.reconstruction_loss(recon, x, self.loop_mode)

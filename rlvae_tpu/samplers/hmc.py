@@ -20,7 +20,7 @@ trip anywhere in the 1500-step chain.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp

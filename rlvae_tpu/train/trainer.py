@@ -32,7 +32,6 @@ from rlvae_tpu.parallel import (
     create_mesh,
     replicate,
     resolve_num_devices,
-    shard_batch,
 )
 from rlvae_tpu.train.checkpoints import CheckpointManager
 from rlvae_tpu.train.optim import (

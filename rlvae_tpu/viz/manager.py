@@ -12,9 +12,9 @@ fallbacks are written by the modules themselves).
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Dict, List, Mapping, Optional
+from typing import Any, List, Mapping
 
 
 class VisualizationLevel(enum.IntEnum):

@@ -175,3 +175,26 @@ def test_flow_direction_option():
     assert not np.allclose(np.asarray(out.z[:, 1]), np.asarray(out2.z[:, 1]))
     with pytest.raises(ValueError, match="direction"):
         RlVAE(**SMALL, flow_direction="bogus")
+
+
+def test_cnn_dropout_batchnorm_training():
+    """Dropout rngs + BatchNorm stats thread through a training forward."""
+    m = RlVAE(
+        input_dim=(3, 16, 16), latent_dim=8, n_flows=0,
+        posterior_type="gaussian", use_riemannian=False,
+        encoder_config={"architecture": "cnn", "layers": [8, 16], "dropout": 0.1},
+        decoder_config={"architecture": "cnn", "layers": [16, 8], "dropout": 0.1},
+    )
+    variables = m.init(jax.random.PRNGKey(0))
+    assert variables["stats"]["encoder"]  # batch_stats exist for CNN
+    x = _batch(dim=(3, 16, 16))
+    out = m.forward(variables, x, jax.random.PRNGKey(1), train=True)
+    assert np.isfinite(float(out.loss))
+    assert out["state_updates"]["encoder"]  # running stats advanced
+    # dropout is active in training: different rng -> different loss
+    out2 = m.forward(variables, x, jax.random.PRNGKey(2), train=True)
+    assert float(out.loss) != float(out2.loss)
+    # eval mode is deterministic
+    e1 = m.forward(variables, x, jax.random.PRNGKey(1))
+    e2 = m.forward(variables, x, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(e1.recon_x), np.asarray(e2.recon_x))
