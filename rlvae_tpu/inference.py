@@ -55,6 +55,19 @@ class ModelManager:
         return cls(model, state["variables"])
 
     @classmethod
+    def from_run(cls, run_dir: str | Path, slot: str = "best") -> "ModelManager":
+        """Load from a run directory using its saved config.yaml (the
+        AutoModel-style reload: no config needed, reference:
+        pythae models/auto_model)."""
+        import yaml
+
+        cfg_path = Path(run_dir) / "config.yaml"
+        if not cfg_path.exists():
+            raise FileNotFoundError(f"No config.yaml in {run_dir}")
+        full = yaml.safe_load(cfg_path.read_text())
+        return cls.from_checkpoint(run_dir, full["model"], slot=slot)
+
+    @classmethod
     def from_config(cls, model_config: Dict[str, Any], seed: int = 0) -> "ModelManager":
         """Fresh (untrained) model — the reference's 'default model' path."""
         model = create_model(model_config)

@@ -44,6 +44,8 @@ class CheckpointManager:
             self._ckptr = ocp.PyTreeCheckpointer()
 
     def save(self, slot: str, state: Dict[str, Any]) -> None:
+        if jax.process_index() != 0:  # host-0-only writes (multi-host ready)
+            return
         path = (self.directory / slot).resolve()
         self.wait()
         self._ckptr.save(path, _to_numpy_tree(state), force=True)

@@ -65,6 +65,38 @@ class ManifoldVisualizations(BaseVisualization):
         ax.set_title(f"Metric heatmap over PCA plane (epoch {epoch})")
         written.append(self.save_figure(fig, epoch, "manifold_heatmap"))
 
+        # curvature landscape on the PCA plane (exact autodiff Gaussian
+        # curvature; the reference's finite-difference analogue is gated the
+        # same way, train_cyclic_loop_comparison.py:3416-3591)
+        if not getattr(self.config, "disable_curvature", True):
+            import jax.numpy as jnp2
+
+            from rlvae_tpu.geometry.curvature import gaussian_curvature_2d
+
+            if hasattr(pca, "components_"):
+                basis = jnp2.asarray(pca.components_[:2].T)
+                origin = jnp2.asarray(pca.mean_)
+            else:
+                mean, comp = pca
+                basis = jnp2.asarray(comp[:2].T)
+                origin = jnp2.asarray(mean)
+            n_curv = 30
+            cgx, cgy = np.meshgrid(
+                np.linspace(lo[0], hi[0], n_curv), np.linspace(lo[1], hi[1], n_curv)
+            )
+            pts = np.stack([cgx.ravel(), cgy.ravel()], axis=1)
+            curv = np.asarray(
+                gaussian_curvature_2d(model.metric, basis, origin, jnp2.asarray(pts))
+            ).reshape(n_curv, n_curv)
+            fig, ax = plt.subplots(figsize=(6.5, 5.5))
+            vmax = np.percentile(np.abs(curv), 95) + 1e-12
+            im = ax.pcolormesh(cgx, cgy, curv, shading="auto", cmap="RdBu_r",
+                               vmin=-vmax, vmax=vmax)
+            fig.colorbar(im, ax=ax, label="Gaussian curvature (induced 2-D metric)")
+            ax.scatter(c_proj[:, 0], c_proj[:, 1], c="k", s=10, marker="x")
+            ax.set_title(f"Curvature landscape (epoch {epoch})")
+            written.append(self.save_figure(fig, epoch, "curvature"))
+
         # temporal metric analysis: det G^{-1} along trajectories
         dets = np.asarray(
             log_sqrt_det_g_inv(model.metric, jnp.asarray(flat, jnp.float32))

@@ -172,3 +172,28 @@ def test_parity_vs_reference_closures(metric_and_z, torch_reference, reference_a
     grad_ref = RHVAESampler.grad_log_sqrt_det_G_inv(zt, model).numpy().reshape(z.shape)
     grad_ours = np.asarray(grad_log_sqrt_det_g_inv(metric, jnp.asarray(z)))
     np.testing.assert_allclose(grad_ours, grad_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_gaussian_curvature_flat_metric():
+    """An identity (flat) metric has zero curvature; a real centroid metric
+    is curved near its centroids."""
+    import jax.numpy as jnp2
+
+    from rlvae_tpu.geometry.curvature import gaussian_curvature_2d
+    from rlvae_tpu.geometry.metric import CentroidMetric
+
+    # flat: single identity matrix with enormous temperature -> G ~ const
+    flat = CentroidMetric.identity(4, n_centroids=1, temperature=1e6, regularization=1.0)
+    basis = jnp2.eye(4)[:, :2]
+    origin = jnp2.zeros(4)
+    pts = jnp2.asarray(np.random.default_rng(0).normal(size=(16, 2)), jnp2.float32)
+    k_flat = np.asarray(gaussian_curvature_2d(flat, basis, origin, pts))
+    np.testing.assert_allclose(k_flat, 0.0, atol=1e-4)
+
+    metric = load_metric(DATA / "metric_T0.7_scaled.npz")
+    basis = jnp2.eye(16)[:, :2]
+    origin = metric.centroids[0]
+    pts = jnp2.asarray(np.random.default_rng(1).normal(size=(16, 2)) * 0.3, jnp2.float32)
+    k_curved = np.asarray(gaussian_curvature_2d(metric, basis, origin, pts))
+    assert np.isfinite(k_curved).all()
+    assert np.abs(k_curved).max() > 1e-4  # genuinely curved
