@@ -119,3 +119,25 @@ def test_hmc_jit_compiles_once(metric):
     z1 = f(jax.random.PRNGKey(8))
     z2 = f(jax.random.PRNGKey(9))
     assert not np.allclose(np.asarray(z1), np.asarray(z2))
+
+
+def test_hmc_targets_density(metric):
+    """Chain samples concentrate where sqrt(det G^{-1}) is large: their mean
+    target log-density beats uniform draws over the centroid bounding box.
+
+    (Far from the centroids the target plateaus at log(1e-10) with zero
+    gradient — the pythae guard semantics — which is exactly why the official
+    sampler starts its chains AT the centroids, rhvae_sampler.py:100-102.)"""
+    from rlvae_tpu.geometry import log_sqrt_det_g_inv
+
+    key = jax.random.PRNGKey(11)
+    cfg = HMCConfig(mcmc_steps=15, n_lf=5, init="centroids", backend="xla")
+    z = sample_prior_hmc(metric, key, 64, cfg)
+    lo = jnp.min(metric.centroids, axis=0)
+    hi = jnp.max(metric.centroids, axis=0)
+    uniform = jax.random.uniform(
+        jax.random.PRNGKey(12), (64, metric.latent_dim), minval=lo, maxval=hi
+    )
+    logpi_chain = float(jnp.mean(log_sqrt_det_g_inv(metric, z)))
+    logpi_uniform = float(jnp.mean(log_sqrt_det_g_inv(metric, uniform)))
+    assert logpi_chain > logpi_uniform + 1.0, (logpi_chain, logpi_uniform)
