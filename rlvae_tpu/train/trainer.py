@@ -55,6 +55,22 @@ def _merge_stats(variables, out):
     return variables
 
 
+def _device_prefetch(batches, sharding, n_devices, depth: int = 2):
+    """Stage host batches onto the device ahead of consumption so the
+    host->device transfer overlaps the previous step's compute."""
+    import collections
+
+    queue = collections.deque()
+    for batch in batches:
+        if batch.shape[0] % n_devices != 0:
+            continue  # drop remainder for even sharding
+        queue.append(jax.device_put(jnp.asarray(batch), sharding))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def make_train_step(model: RlVAE, optimizer, nan_checks: bool = False) -> Callable:
     def train_step(variables, opt_state, batch, key):
         def loss_fn(params):
@@ -198,11 +214,10 @@ class Trainer:
             train_metrics: list = []
             profiling_this_epoch = self.profile and epoch == 0
             with trace(self.run_dir / "profile", enabled=profiling_this_epoch):
-                for batch in self.data.train_batches(epoch):
-                    if batch.shape[0] % self.n_devices != 0:
-                        continue  # drop remainder for even sharding
+                for device_batch in _device_prefetch(
+                    self.data.train_batches(epoch), bsharding, self.n_devices
+                ):
                     key, k_step = jax.random.split(key)
-                    device_batch = jax.device_put(jnp.asarray(batch), bsharding)
                     timer.start()
                     variables, opt_state, metrics = self._train_step(
                         variables, opt_state, device_batch, k_step

@@ -65,6 +65,58 @@ render(0);
 
 
 class InteractiveVisualizations(BaseVisualization):
+    def _metric_slider(self, epoch, model, z):
+        """Heatmap frames of log sqrt det G^{-1} at a range of temperatures."""
+        import io as _io
+        import json
+
+        import jax.numpy as jnp
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from rlvae_tpu.geometry import log_sqrt_det_g_inv
+
+        flat = z.reshape(-1, z.shape[-1])
+        proj, pca = self.pca_fit_transform(
+            np.concatenate([flat, np.asarray(model.metric.centroids)], axis=0)
+        )
+        lo, hi = proj.min(0) - 1.0, proj.max(0) + 1.0
+        n_grid = 40
+        gx, gy = np.meshgrid(np.linspace(lo[0], hi[0], n_grid), np.linspace(lo[1], hi[1], n_grid))
+        grid2 = np.stack([gx.ravel(), gy.ravel()], axis=1)
+        if hasattr(pca, "inverse_transform"):
+            grid_d = pca.inverse_transform(grid2)
+        else:
+            mean, comp = pca
+            grid_d = grid2 @ comp + mean
+
+        base_t = float(model.metric.temperature)
+        frames = []
+        for scale in (0.5, 0.75, 1.0, 1.5, 2.0, 3.0):
+            m_t = model.metric.replace(temperature=jnp.asarray(base_t * scale, jnp.float32))
+            vals = np.asarray(
+                log_sqrt_det_g_inv(m_t, jnp.asarray(grid_d, jnp.float32))
+            ).reshape(n_grid, n_grid)
+            fig, ax = plt.subplots(figsize=(3, 2.6), dpi=64)
+            ax.pcolormesh(gx, gy, vals, shading="auto", cmap="viridis")
+            ax.set_title(f"T = {base_t * scale:.2f}", fontsize=8)
+            ax.set_xticks([]), ax.set_yticks([])
+            buf = _io.BytesIO()
+            fig.savefig(buf, format="png", bbox_inches="tight")
+            plt.close(fig)
+            frames.append(base64.b64encode(buf.getvalue()).decode())
+
+        html = _SLIDER_HTML.format(
+            title=f"Metric temperature slider (epoch {epoch})",
+            tmax=len(frames) - 1,
+            data_json=json.dumps([frames]),
+        )
+        path = self._path(epoch, "metric_slider", ext="html")
+        path.write_text(html)
+        return path
+
     def run(self, epoch: int, model, variables, sample_batch) -> List:
         import json
 
@@ -83,6 +135,29 @@ class InteractiveVisualizations(BaseVisualization):
         path = self._path(epoch, "sequence_slider", ext="html")
         path.write_text(html)
         written.append(path)
+
+        # geodesic slider: decode the latent path between two sequences'
+        # initial latents (reference: interactive.py:135 geodesic sliders)
+        z = np.asarray(out.z)
+        z_a, z_b = z[0, 0], z[min(1, z.shape[0] - 1), 0]
+        ts = np.linspace(0.0, 1.0, 9)
+        path = np.stack([(1 - t) * z_a + t * z_b for t in ts])
+        dec, _ = model.decode(variables, jax.numpy.asarray(path, jax.numpy.float32))
+        frames = np.asarray(dec.reconstruction)
+        data = [[_png_b64(frames[i]) for i in range(frames.shape[0])]]
+        html = _SLIDER_HTML.format(
+            title=f"Geodesic (latent interpolation) slider (epoch {epoch})",
+            tmax=frames.shape[0] - 1,
+            data_json=json.dumps(data),
+        )
+        path_out = self._path(epoch, "geodesic_slider", ext="html")
+        path_out.write_text(html)
+        written.append(path_out)
+
+        # metric-temperature slider: log sqrt det G^{-1} heatmaps across T
+        # (reference: interactive.py:724 metric slider)
+        if model.metric is not None:
+            written.append(self._metric_slider(epoch, model, z))
 
         # latent-space explorer: generated samples across the prior
         if model.metric is not None:

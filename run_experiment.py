@@ -212,7 +212,22 @@ class ExperimentRunner:
         (run_dir / "results.yaml").write_text(yaml.safe_dump(results, sort_keys=False))
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: repeat CLI invocations skip the
+    ~40s first-epoch compile."""
+    try:
+        import jax
+
+        cache_dir = REPO_ROOT / "outputs" / ".jax_cache"
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        print(f"[rlvae] compilation cache unavailable: {e}")
+
+
 def main(argv=None):
+    _enable_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     multirun = False
     for flag in ("-m", "--multirun"):
