@@ -48,7 +48,12 @@ def create_model(config: Mapping[str, Any], name: Optional[str] = None) -> RlVAE
         beta=float(config.get("beta", 1.0)),
         riemannian_beta=float(config.get("riemannian_beta", 1.0)),
         posterior_type=str(posterior.get("type", "gaussian")),
-        sampling_method=str(sampling.get("method", "standard")),
+        # the reference's training configs spell this 'enhanced_riemannian'
+        # (conf/training/quick.yaml:36) for the method the samplers register
+        # as 'enhanced'
+        sampling_method={"enhanced_riemannian": "enhanced"}.get(
+            str(sampling.get("method", "standard")), str(sampling.get("method", "standard"))
+        ),
         use_riemannian=bool(sampling.get("use_riemannian", False)),
         loop_mode=str(loop.get("mode", "open")),
         loop_penalty=float(loop.get("penalty", 0.0)),

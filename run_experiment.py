@@ -31,6 +31,9 @@ class ExperimentRunner:
     (reference: run_experiment.py:62-340)."""
 
     def __init__(self, config: Config):
+        from rlvae_tpu.config.schema import assert_valid
+
+        assert_valid(config.to_dict())
         self.config = config
         self.run_dir = Path(config.get("run.dir", "outputs/run"))
         self.run_dir.mkdir(parents=True, exist_ok=True)
