@@ -18,14 +18,24 @@ def _node(config: Optional[Mapping[str, Any]], key: str) -> Dict[str, Any]:
     return dict(node) if node else {}
 
 
-def _resolve_metric_path(path: Optional[str]) -> Optional[str]:
+def _resolve_artifact(path: Optional[str], kind: str = "artifact") -> Optional[str]:
+    """Resolve a pretrained-artifact path (.npz preferred, .pt tolerated).
+
+    A configured-but-missing path is a loud warning, not a silent random
+    init — the round-1 flagship runs trained from scratch because these
+    were dropped on the floor (reference wiring:
+    riemannian_flow_vae.py:921-942, encoder_manager.py:260-326)."""
     if not path:
         return None
     p = Path(path)
     for cand in (p, p.with_suffix(".npz"), p.with_suffix(".pt")):
         if cand.exists():
             return str(cand)
+    print(f"[rlvae] WARNING: pretrained {kind} not found: {path} -> random init")
     return None
+
+
+_resolve_metric_path = _resolve_artifact  # back-compat alias
 
 
 def create_model(config: Mapping[str, Any], name: Optional[str] = None) -> RlVAE:
@@ -60,10 +70,16 @@ def create_model(config: Mapping[str, Any], name: Optional[str] = None) -> RlVAE
         flow_direction=str(config.get("flow_direction", "density")),
         encoder_config=_node(config, "encoder"),
         decoder_config=_node(config, "decoder"),
+        pretrained_encoder_path=_resolve_artifact(
+            pretrained.get("encoder_path"), "encoder"
+        ),
+        pretrained_decoder_path=_resolve_artifact(
+            pretrained.get("decoder_path"), "decoder"
+        ),
         name=name or str(config.get("name", "rlvae")),
     )
 
-    metric_path = _resolve_metric_path(pretrained.get("metric_path"))
+    metric_path = _resolve_artifact(pretrained.get("metric_path"), "metric")
     if metric_path:
         model.load_pretrained_metric(
             metric_path,

@@ -69,6 +69,8 @@ class RlVAE:
         encoder_config: Optional[Mapping[str, Any]] = None,
         decoder_config: Optional[Mapping[str, Any]] = None,
         metric: Optional[CentroidMetric] = None,
+        pretrained_encoder_path: Optional[str] = None,
+        pretrained_decoder_path: Optional[str] = None,
         name: str = "rlvae",
     ):
         if posterior_type not in POSTERIOR_TYPES:
@@ -94,6 +96,10 @@ class RlVAE:
             direction=flow_direction,
         )
         self.metric = metric
+        # applied by init() so every entry path (CLI, app, tests) starts from
+        # the pretrained weights (reference: riemannian_flow_vae.py:921-942)
+        self.pretrained_encoder_path = pretrained_encoder_path
+        self.pretrained_decoder_path = pretrained_decoder_path
 
     # -- state ---------------------------------------------------------------
 
@@ -106,7 +112,7 @@ class RlVAE:
         z0 = jnp.zeros((batch_size, self.latent_dim), jnp.float32)
         enc_vars = dict(self.encoder.init(k_enc, x0))
         dec_vars = dict(self.decoder.init(k_dec, z0))
-        return {
+        variables = {
             "params": {
                 "encoder": enc_vars["params"],
                 "decoder": dec_vars["params"],
@@ -117,6 +123,13 @@ class RlVAE:
                 "decoder": dec_vars.get("batch_stats", {}),
             },
         }
+        if self.pretrained_encoder_path or self.pretrained_decoder_path:
+            variables = self.load_pretrained_components(
+                variables,
+                encoder_path=self.pretrained_encoder_path,
+                decoder_path=self.pretrained_decoder_path,
+            )
+        return variables
 
     def load_pretrained_components(
         self,

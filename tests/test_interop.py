@@ -72,6 +72,44 @@ def test_torch_component_parity(torch_components):
     np.testing.assert_allclose(np.asarray(dec_out.reconstruction), ref_rec, atol=5e-3)
 
 
+def test_factory_wires_pretrained_components(torch_components):
+    """create_model -> init() must start from the configured pretrained
+    encoder/decoder weights, not a random init (reference:
+    riemannian_flow_vae.py:921-942 via the hydra pretrained node)."""
+    from rlvae_tpu.models.factory import create_model
+
+    _, _, d = torch_components
+    cfg = {
+        "input_dim": [3, 8, 8], "latent_dim": 16, "n_flows": 0,
+        "posterior": {"type": "gaussian"},
+        "sampling": {"method": "standard", "use_riemannian": False},
+        "pretrained": {
+            "encoder_path": str(d / "encoder.pt"),
+            "decoder_path": str(d / "decoder.pt"),
+        },
+    }
+    model = create_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0))
+
+    plain = RlVAE(input_dim=(3, 8, 8), latent_dim=16, n_flows=0,
+                  posterior_type="gaussian", use_riemannian=False)
+    expected = plain.load_pretrained_components(
+        plain.init(jax.random.PRNGKey(0)),
+        encoder_path=d / "encoder.pt", decoder_path=d / "decoder.pt",
+    )
+    for which in ("encoder", "decoder"):
+        got = jax.tree_util.tree_leaves(variables["params"][which])
+        want = jax.tree_util.tree_leaves(expected["params"][which])
+        for x, y in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # configured-but-missing paths warn and fall back to random init
+    cfg_missing = {**cfg, "pretrained": {"encoder_path": str(d / "nope.pt")}}
+    model2 = create_model(cfg_missing)
+    assert model2.pretrained_encoder_path is None
+    model2.init(jax.random.PRNGKey(0))
+
+
 def test_component_shape_mismatch_rejected(torch_components):
     _, _, d = torch_components
     model = RlVAE(input_dim=(3, 16, 16), latent_dim=16, n_flows=0,
