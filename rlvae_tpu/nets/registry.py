@@ -15,10 +15,17 @@ import warnings
 from typing import Any, Mapping, Optional, Tuple
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from rlvae_tpu.nets.cnn import CNNDecoder, CNNEncoder
 from rlvae_tpu.nets.mlp import MLPDecoder, MLPEncoder
 from rlvae_tpu.nets.resnet import ResNetDecoder, ResNetEncoder
+
+# activation-dtype policy knob (config `dtype:`); params always stay fp32
+_DTYPES = {
+    "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+    "float32": jnp.float32, "fp32": jnp.float32,
+}
 
 
 def _get(cfg: Optional[Mapping[str, Any]], *keys, default=None):
@@ -26,6 +33,10 @@ def _get(cfg: Optional[Mapping[str, Any]], *keys, default=None):
         if cfg is not None and cfg.get(k) is not None:
             return cfg[k]
     return default
+
+
+def _dtype(config: Optional[Mapping[str, Any]]) -> jnp.dtype:
+    return _DTYPES[str(_get(config, "dtype", default="bfloat16")).lower()]
 
 
 def create_encoder(
@@ -43,6 +54,7 @@ def create_encoder(
             latent_dim=latent_dim,
             hidden_dims=tuple(_get(config, "hidden_dims", default=(512,))),
             dropout=float(_get(config, "dropout", default=0.0)),
+            dtype=_dtype(config),
         )
     if arch == "cnn":
         return CNNEncoder(
@@ -79,6 +91,7 @@ def create_decoder(
             latent_dim=latent_dim,
             hidden_dims=tuple(_get(config, "hidden_dims", default=(512,))),
             dropout=float(_get(config, "dropout", default=0.0)),
+            dtype=_dtype(config),
         )
     if arch == "cnn":
         return CNNDecoder(

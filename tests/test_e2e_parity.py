@@ -61,8 +61,8 @@ def _transfer_weights(ref, ours_vars):
 
     def wb(lin):
         return (
-            jnp.asarray(lin.weight.detach().numpy().T),
-            jnp.asarray(lin.bias.detach().numpy()),
+            jnp.array(lin.weight.detach().numpy().T),
+            jnp.array(lin.bias.detach().numpy()),
         )
 
     params = jax.tree_util.tree_map(lambda a: a, ours_vars["params"])  # copy

@@ -108,8 +108,8 @@ def _torch_iaf_to_params(flow):
             m for m in made.net if m.__class__.__name__ == "MaskedLinear"
         ]
         for li, lin in enumerate(layers):
-            p[f"w{li}"] = jnp.asarray(lin.weight.detach().numpy().T)
-            p[f"b{li}"] = jnp.asarray(lin.bias.detach().numpy())
+            p[f"w{li}"] = jnp.array(lin.weight.detach().numpy().T)
+            p[f"b{li}"] = jnp.array(lin.bias.detach().numpy())
         blocks.append(p)
     return blocks
 
