@@ -231,17 +231,24 @@ def train_metric(
     learning_rate: float = 1e-3,
     seed: int = 42,
     log_every: int = 0,
+    warm_start: Optional[Dict[str, Any]] = None,
 ) -> Tuple[CentroidMetric, Dict[str, Any]]:
     """Train the RHVAE on individual frames and return the learned metric.
 
     ``data`` is [N, C, H, W] frames (sequences flattened upstream; reference
     provenance: scripts/train_and_extract_vanilla_vae.py + RHVAE training).
+    ``warm_start`` optionally seeds the RHVAE encoder/decoder from pretrained
+    VAE params (same flax modules) so the learned metric's centroids live in
+    the same latent region the pretrained encoder maps data into — the
+    geometric-consistency requirement of the provenance chain (SURVEY §3.5).
     """
     import optax
 
     key = jax.random.PRNGKey(seed)
     key, k_init = jax.random.split(key)
     params = rhvae.init(k_init)["params"]
+    if warm_start:
+        params = {**params, **{k: warm_start[k] for k in ("encoder", "decoder") if k in warm_start}}
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
 

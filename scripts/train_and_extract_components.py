@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--metric-epochs", type=int, default=10)
     ap.add_argument("--latent-dim", type=int, default=16)
     ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=42,
+                    help="synthetic-data seed; 42 matches CyclicDataModule's default")
+    ap.add_argument("--metric-centroids", type=int, default=200,
+                    help="cap the consolidated metric at this many centroids "
+                         "(reference metric.pt ships 200)")
     ap.add_argument("--out-dir", type=Path, default=REPO / "data" / "pretrained")
     args = ap.parse_args()
 
@@ -54,7 +59,8 @@ def main():
         seqs = _load_array(args.dataset)
     else:
         seqs = generate_cyclic_sequences(
-            args.synthetic, n_obs=8, image_size=(args.image_size, args.image_size)
+            args.synthetic, n_obs=8, image_size=(args.image_size, args.image_size),
+            seed=args.seed,
         )
     frames = seqs.reshape(-1, *seqs.shape[2:]).astype(np.float32)
     input_dim = tuple(frames.shape[1:])
@@ -119,11 +125,26 @@ def main():
     save_flat(params["decoder"], args.out_dir / "decoder.npz")
     print(f"wrote {args.out_dir}/encoder.npz, decoder.npz")
 
-    # metric via RHVAE (warm-starting its encoder/decoder from the VAE)
+    # metric via RHVAE, warm-starting its encoder/decoder from the VAE so the
+    # learned centroids live where the pretrained encoder puts latents
+    # (the reference's provenance chain, SURVEY §3.5)
     rhvae = RHVAE(input_dim=input_dim, latent_dim=args.latent_dim)
     metric, info = train_metric(
-        rhvae, frames, n_epochs=args.metric_epochs, batch_size=bs, log_every=2
+        rhvae, frames, n_epochs=args.metric_epochs, batch_size=bs, log_every=2,
+        warm_start=params,
     )
+    if metric.n_centroids > args.metric_centroids:
+        sel = np.random.default_rng(args.seed).choice(
+            metric.n_centroids, args.metric_centroids, replace=False
+        )
+        from rlvae_tpu.geometry.metric import CentroidMetric
+
+        metric = CentroidMetric.create(
+            np.asarray(metric.centroids)[sel],
+            np.asarray(metric.matrices)[sel],
+            float(metric.temperature),
+            float(metric.regularization),
+        )
     save_metric(metric, args.out_dir / "metric.npz")
     print(f"wrote {args.out_dir}/metric.npz ({metric.n_centroids} centroids)")
 
