@@ -365,18 +365,57 @@ class RlVAE:
         with S posterior samples and a logsumexp average (reference: pythae
         vae_model.py get_nll / rhvae_model.py:486+ importance-sampled NLL,
         adapted to the sequence generative model where z_{t>0} are
-        deterministic flow images of z0)."""
+        deterministic flow images of z0).
+
+        For the ``riemannian_metric`` posterior the estimator is consistent
+        with the trained objective (unlike a plain standard-normal prior):
+        q(z0|x0) = N(mu, G^{-1}(mu)) — the metric-aware posterior the model
+        actually samples — and p(z0) = sqrt(det G(z0)) / V, the
+        uniform-on-manifold prior the Riemannian KL is derived against
+        (riemannian_flow_vae.py:1004-1077).  The volume V = int sqrt(det G)
+        is estimated once per call by importance sampling over a mixture of
+        Gaussians centered on the metric centroids."""
         import math
 
         b, n_obs = x.shape[0], x.shape[1]
         d = self.latent_dim
         enc_out, _ = self.encode(variables, x[:, 0])
         mu, log_var = enc_out.embedding, enc_out.log_covariance
-        std = jnp.exp(0.5 * log_var)
+
+        riemannian = self.posterior_type == "riemannian_metric" and self.metric is not None
+        if riemannian:
+            from rlvae_tpu.geometry import metric as gm
+
+            l_mu = gm.chol_g_inv(self.metric, mu)  # [B, D, D]
+            half_logdet_gi_mu = jnp.sum(
+                jnp.log(jnp.diagonal(l_mu, axis1=-2, axis2=-1)), axis=-1
+            )  # 0.5 log det G^{-1}(mu)
+            key, k_vol = jax.random.split(key)
+            log_volume = self._log_manifold_volume(k_vol)
+        else:
+            std = jnp.exp(0.5 * log_var)
 
         def one_sample(k):
             eps = jax.random.normal(k, mu.shape)
-            z0 = mu + eps * std
+            if riemannian:
+                z0 = mu + jnp.einsum("bij,bj->bi", l_mu, eps)
+                # log N(z0; mu, G^{-1}(mu))
+                log_qz = (
+                    -0.5 * jnp.sum(eps**2, axis=1)
+                    - 0.5 * d * math.log(2 * math.pi)
+                    - half_logdet_gi_mu
+                )
+                from rlvae_tpu.geometry import metric as gm
+
+                log_pz = -0.5 * gm.logdet_g_inv(self.metric, z0) - log_volume
+            else:
+                z0 = mu + eps * std
+                log_qz = (
+                    -0.5 * jnp.sum(eps**2, axis=1)
+                    - 0.5 * d * math.log(2 * math.pi)
+                    - 0.5 * jnp.sum(log_var, axis=1)
+                )
+                log_pz = -0.5 * jnp.sum(z0**2, axis=1) - 0.5 * d * math.log(2 * math.pi)
             if self.n_flows > 0:
                 z_seq, _ = apply_temporal_flows(
                     self.flow_config, variables["params"]["flows"], z0, n_obs
@@ -389,16 +428,36 @@ class RlVAE:
             log_px_z = -0.5 * jnp.sum(
                 (recon - x).reshape(b, -1) ** 2, axis=1
             ) - 0.5 * x[0].size * math.log(2 * math.pi)
-            log_pz = -0.5 * jnp.sum(z0**2, axis=1) - 0.5 * d * math.log(2 * math.pi)
-            log_qz = (
-                -0.5 * jnp.sum(eps**2, axis=1)
-                - 0.5 * d * math.log(2 * math.pi)
-                - 0.5 * jnp.sum(log_var, axis=1)
-            )
             return log_px_z + log_pz - log_qz
 
         log_w = jax.lax.map(one_sample, jax.random.split(key, n_samples))  # [S, B]
         return -(jax.scipy.special.logsumexp(log_w, axis=0) - jnp.log(float(n_samples)))
+
+    def _log_manifold_volume(self, key: Array, n_mc: int = 512) -> Array:
+        """log V with V = int sqrt(det G(z)) dz, by importance sampling over a
+        uniform mixture of Gaussians N(c_k, T^2 I) at the metric centroids
+        (the region where the metric deviates from the lbd*I floor)."""
+        import math
+
+        from rlvae_tpu.geometry import metric as gm
+
+        metric = self.metric
+        k_c, k_eps = jax.random.split(key)
+        d = self.latent_dim
+        n_k = metric.n_centroids
+        idx = jax.random.randint(k_c, (n_mc,), 0, n_k)
+        scale = metric.temperature
+        z = metric.centroids[idx] + scale * jax.random.normal(k_eps, (n_mc, d))
+        # mixture density r(z) = 1/K sum_k N(z; c_k, T^2 I)
+        d2 = jnp.sum((z[:, None, :] - metric.centroids[None, :, :]) ** 2, axis=-1)
+        log_comp = -0.5 * d2 / scale**2 - 0.5 * d * (
+            math.log(2 * math.pi) + 2.0 * jnp.log(scale)
+        )
+        log_r = jax.scipy.special.logsumexp(log_comp, axis=1) - jnp.log(float(n_k))
+        log_sqrt_det_g = -0.5 * gm.logdet_g_inv(metric, z)
+        return jax.scipy.special.logsumexp(log_sqrt_det_g - log_r) - jnp.log(
+            float(n_mc)
+        )
 
     # -- introspection -------------------------------------------------------
 

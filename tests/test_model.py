@@ -198,3 +198,34 @@ def test_cnn_dropout_batchnorm_training():
     e1 = m.forward(variables, x, jax.random.PRNGKey(1))
     e2 = m.forward(variables, x, jax.random.PRNGKey(1))
     np.testing.assert_array_equal(np.asarray(e1.recon_x), np.asarray(e2.recon_x))
+
+
+def test_riemannian_nll_uses_metric_prior():
+    """estimate_nll for the riemannian_metric posterior must integrate the
+    model's actual prior (uniform-on-manifold, sqrt(det G)/V) and metric-aware
+    posterior density, not a standard normal (reference: pythae
+    rhvae_model.py:486+ uses its own metric-consistent estimator)."""
+    from rlvae_tpu.geometry import load_metric
+
+    metric = load_metric(DATA / "metric_T0.7_scaled.npz", temperature_override=3.0)
+    m = RlVAE(
+        input_dim=(3, 8, 8), latent_dim=16, n_flows=2, flow_hidden_size=32,
+        posterior_type="riemannian_metric", metric=metric,
+    )
+    variables = m.init(jax.random.PRNGKey(0), n_obs=4)
+    x = _batch(t=4, dim=(3, 8, 8))
+    nll = m.estimate_nll(variables, x, jax.random.PRNGKey(1), n_samples=8)
+    assert nll.shape == (x.shape[0],) and np.isfinite(np.asarray(nll)).all()
+
+    # the manifold volume estimate is finite and reproducible for a fixed key
+    v1 = float(m._log_manifold_volume(jax.random.PRNGKey(2)))
+    v2 = float(m._log_manifold_volume(jax.random.PRNGKey(2)))
+    assert np.isfinite(v1) and v1 == v2
+
+    # the riemannian estimator genuinely differs from the gaussian-prior one
+    g = RlVAE(
+        input_dim=(3, 8, 8), latent_dim=16, n_flows=2, flow_hidden_size=32,
+        posterior_type="gaussian", use_riemannian=False,
+    )
+    nll_g = g.estimate_nll(variables, x, jax.random.PRNGKey(1), n_samples=8)
+    assert not np.allclose(np.asarray(nll), np.asarray(nll_g))
