@@ -45,16 +45,28 @@ class TemporalFlowConfig:
         n_blocks: int = 2,
         n_hidden: int = 3,
         direction: str = "density",
+        backend: str = "auto",
     ):
         if direction not in ("density", "sampling"):
             raise ValueError("direction must be 'density' or 'sampling'")
+        if backend not in ("auto", "pallas", "xla"):
+            raise ValueError("backend must be 'auto', 'pallas' or 'xla'")
         self.latent_dim = latent_dim
         self.n_flows = n_flows
         self.hidden_size = hidden_size
         self.n_blocks = n_blocks
         self.n_hidden = n_hidden
         self.direction = direction
+        self.backend = backend
         self.masks = iaf_masks(latent_dim, hidden_size, n_hidden) if n_flows > 0 else []
+
+    def _use_fused(self) -> bool:
+        """Fused Pallas density pass on TPU (auto), or forced via backend."""
+        if self.direction != "density":
+            return False
+        if self.backend == "pallas":
+            return True
+        return self.backend == "auto" and jax.default_backend() == "tpu"
 
     def init(self, key: jax.Array) -> List[List[Dict[str, jax.Array]]]:
         """One IAF (list of MADE-block params) per flow."""
@@ -79,7 +91,21 @@ def apply_temporal_flows(
         z_seq: [B, n_obs, D] (z_seq[:, 0] == z0)
         log_dets: [B, n_obs - 1] per-transition log|det J|
     """
-    step_fn = iaf_forward if config.direction == "density" else iaf_inverse
+    # measured crossover on v5e: the fused kernel wins from B>=8 (1.1-1.2x on
+    # the full train step); at B=4 the 14 pallas_call fixed costs outweigh it
+    if config.n_flows > 0 and config._use_fused() and (
+        config.backend == "pallas" or z0.shape[0] >= 8
+    ):
+        # one fused Pallas program per transition (custom VJP; see
+        # rlvae_tpu/ops/iaf_kernels.py) instead of D sequential MADE passes
+        from rlvae_tpu.ops.iaf_kernels import get_fused_iaf
+
+        fused = get_fused_iaf(
+            config.latent_dim, config.hidden_size, config.n_blocks, config.n_hidden
+        )
+        step_fn = lambda flow, masks, z: fused(flow, z)
+    else:
+        step_fn = iaf_forward if config.direction == "density" else iaf_inverse
     zs = [z0]
     lds = []
     for t in range(1, n_obs):

@@ -1,0 +1,380 @@
+"""Fused Pallas TPU kernels for the IAF density-direction pass.
+
+The reference's IAF forward (density direction) is a Python loop of D full
+MADE passes per block (reference: src/lib/src/pythae/models/normalizing_flows/
+iaf/iaf_model.py:63-82); the temporal chain multiplies that by (T-1)
+transitions x n_blocks, i.e. 224 sequential MADE evaluations per training
+forward at the flagship config.  As XLA ops (lax.scan over dims) each pass is
+~4 small matmuls plus glue — the train step is dominated by their sequential
+launch latency, not FLOPs.
+
+This kernel runs one complete IAF (all MADE blocks, the D-step
+autoregressive update, and the dim flips between blocks) as ONE Pallas
+program with every weight resident in VMEM:
+
+- weights arrive mask-premultiplied and stacked per block, so each step is
+  a clean [TB,H] x [H,H] MXU chain;
+- the per-dim update uses a broadcasted-iota column select (no dynamic lane
+  slicing);
+- the dim flip is a [D,D] reversal-permutation matmul (guaranteed lowering,
+  vs lane-reversal ops);
+- the backward pass is a second Pallas kernel implementing the exact VJP.
+  Key property exploited: the MADE *input* at dim-step i equals the block's
+  final output masked to columns < i (dims are written once, in order), so
+  the only residuals needed are each block's output — the backward kernel
+  re-runs the 4-matmul forward per reverse step and accumulates weight
+  gradients in VMEM across batch tiles (TPU grids execute sequentially).
+
+fp32 throughout with HIGHEST-precision matmuls (the outputs feed exp(-s);
+see CLAUDE.md precision policy).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rlvae_tpu.flows.made import LOG_VAR_CLAMP, make_masks
+
+# HIGHEST: full-f32 passes.  Mosaic supports only DEFAULT/HIGHEST; a
+# same-process A/B showed no measurable speed difference here (the matmuls
+# are tiny and latency-bound), so keep the accurate one — s feeds exp(-s).
+HI = jax.lax.Precision.HIGHEST
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=HI)
+
+
+def _dot_nt(a, b):
+    """a @ b.T without materializing the transpose: [M,K] x [N,K] -> [M,N]."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=HI
+    )
+
+
+def _dot_tn(a, b):
+    """a.T @ b without materializing the transpose: [K,M] x [K,N] -> [M,N]."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=HI
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _made_pass(y, w0, b0, whs, bhs, wo, bo, d: int):
+    """One MADE forward: returns (mu, s_pre, activations) with s un-clamped.
+
+    Layer stack mirrors the reference exactly (made_model.py:124-137): masked
+    layer 0 with NO activation, [masked, ReLU] pairs, masked output layer.
+    """
+    acts = []
+    a = _dot(y, w0) + b0  # a0: no activation
+    acts.append(a)
+    for wh, bh in zip(whs, bhs):
+        a = jnp.maximum(_dot(a, wh) + bh, 0.0)
+        acts.append(a)
+    out = _dot(a, wo) + bo  # [TB, 2D] (padded)
+    return out[:, :d], out[:, d : 2 * d], acts
+
+
+def _rev_matrix(d: int):
+    """[D, D] reversal permutation (flip as a matmul: y @ R == y[:, ::-1])."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+    return jnp.where(row + col == d - 1, 1.0, 0.0).astype(jnp.float32)
+
+
+def _iaf_fwd_kernel(
+    x_ref, w0_ref, b0_ref, wh_ref, bh_ref, wo_ref, bo_ref,
+    y_ref, ld_ref, ys_ref,
+    *, d: int, n_blocks: int, n_hidden: int, tb: int,
+):
+    """Forward: y_ref = IAF(x), ld_ref = sum log|det J|, ys_ref = per-block
+    pre-flip outputs (the backward residuals)."""
+    rev = _rev_matrix(d)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, d), 1)
+    x = x_ref[...]
+    ld = jnp.zeros((tb, 1), jnp.float32)
+    for b in range(n_blocks):
+        w0, b0 = w0_ref[b], b0_ref[b]
+        whs = [wh_ref[b, li] for li in range(n_hidden - 1)]
+        bhs = [bh_ref[b, li] for li in range(n_hidden - 1)]
+        wo, bo = wo_ref[b], bo_ref[b]
+
+        def step(i, carry):
+            y, ld = carry
+            mu, s_pre, _ = _made_pass(y, w0, b0, whs, bhs, wo, bo, d)
+            s = jnp.clip(s_pre, -LOG_VAR_CLAMP, LOG_VAR_CLAMP)
+            y_cand = (x - mu) * jnp.exp(-s)
+            sel = col == i
+            y = jnp.where(sel, y_cand, y)
+            ld = ld - jnp.sum(jnp.where(sel, s, 0.0), axis=1, keepdims=True)
+            return y, ld
+
+        y, ld = jax.lax.fori_loop(0, d, step, (jnp.zeros((tb, d), jnp.float32), ld))
+        ys_ref[b] = y  # pre-flip residual
+        x = _dot(y, rev)  # dim flip between blocks (iaf_model.py:81)
+    y_ref[...] = x  # flipped output of the last block
+    ld_ref[...] = ld
+
+
+def _iaf_bwd_kernel(
+    x_ref, ys_ref, dy_ref, dld_ref,
+    w0_ref, b0_ref, wh_ref, bh_ref, wo_ref, bo_ref,
+    dx_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwo_ref, dbo_ref,
+    *, d: int, n_blocks: int, n_hidden: int, tb: int,
+):
+    """Exact VJP of the forward kernel.
+
+    Weight/bias gradients accumulate across batch tiles: TPU grid steps run
+    sequentially and every tile maps to the same output block, so the
+    zero-init happens only on the first tile."""
+    rev = _rev_matrix(d)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, d), 1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        dw0_ref[...] = jnp.zeros_like(dw0_ref)
+        db0_ref[...] = jnp.zeros_like(db0_ref)
+        dwh_ref[...] = jnp.zeros_like(dwh_ref)
+        dbh_ref[...] = jnp.zeros_like(dbh_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+
+    dy = _dot(dy_ref[...], rev)  # adjoint of the final flip
+    dld = dld_ref[...]  # [TB, 1]
+
+    for b in range(n_blocks - 1, -1, -1):
+        w0, b0 = w0_ref[b], b0_ref[b]
+        whs = [wh_ref[b, li] for li in range(n_hidden - 1)]
+        bhs = [bh_ref[b, li] for li in range(n_hidden - 1)]
+        wo, bo = wo_ref[b], bo_ref[b]
+        y_out = ys_ref[b]  # block output (pre-flip)
+        # block input: x for block 0, flip(previous block's output) after
+        x_in = x_ref[...] if b == 0 else _dot(ys_ref[b - 1], rev)
+
+        def rstep(j, carry):
+            i = d - 1 - j
+            dy, dx, dw0, db0, dwh, dbh, dwo, dbo = carry
+            dwh, dbh = list(dwh), list(dbh)
+            sel = col == i
+            y_in = jnp.where(col < i, y_out, 0.0)
+            mu, s_pre, acts = _made_pass(y_in, w0, b0, whs, bhs, wo, bo, d)
+            s = jnp.clip(s_pre, -LOG_VAR_CLAMP, LOG_VAR_CLAMP)
+            e = jnp.exp(-s)
+            u = (x_in - mu) * e  # u[:, i] is the value written at step i
+
+            du = jnp.where(sel, dy, 0.0)  # only column i of dy feeds step i
+            dmu = -du * e
+            dx = dx + du * e  # d x_in[:, i]
+            ds = -du * u - jnp.where(sel, dld, 0.0)
+            ds_pre = jnp.where(jnp.abs(s_pre) < LOG_VAR_CLAMP, ds, 0.0)
+
+            # backprop the 4-matmul MADE chain
+            dout = jnp.concatenate([dmu, ds_pre], axis=1)  # [TB, 2D]
+            a_prev = acts[-1]
+            da = _dot_nt(dout, wo)
+            dwo = dwo + _dot_tn(a_prev, dout)
+            dbo = dbo + jnp.sum(dout, axis=0, keepdims=True)
+            for li in range(n_hidden - 2, -1, -1):
+                g = jnp.where(acts[li + 1] > 0.0, da, 0.0)  # ReLU mask
+                dwh[li] = dwh[li] + _dot_tn(acts[li], g)
+                dbh[li] = dbh[li] + jnp.sum(g, axis=0, keepdims=True)
+                da = _dot_nt(g, whs[li])
+            # layer 0 has no activation
+            dw0 = dw0 + _dot_tn(y_in, da)
+            db0 = db0 + jnp.sum(da, axis=0, keepdims=True)
+            dy_in = _dot_nt(da, w0)
+            dy = dy + jnp.where(col < i, dy_in, 0.0)
+            return dy, dx, dw0, db0, tuple(dwh), tuple(dbh), dwo, dbo
+
+        zeros = (
+            jnp.zeros((tb, d), jnp.float32),
+            jnp.zeros_like(w0_ref[b]),
+            jnp.zeros_like(b0_ref[b]),
+            tuple(jnp.zeros((h_dim, h_dim), jnp.float32) for h_dim in [wh_ref.shape[-1]] * (n_hidden - 1)),
+            tuple(jnp.zeros((1, wh_ref.shape[-1]), jnp.float32) for _ in range(n_hidden - 1)),
+            jnp.zeros_like(wo_ref[b]),
+            jnp.zeros_like(bo_ref[b]),
+        )
+        dy, dx, dw0, db0, dwh, dbh, dwo, dbo = jax.lax.fori_loop(
+            0, d, rstep, (dy, *zeros)
+        )
+        dw0_ref[b] += dw0
+        db0_ref[b] += db0
+        for li in range(n_hidden - 1):
+            dwh_ref[b, li] += dwh[li]
+            dbh_ref[b, li] += dbh[li]
+        dwo_ref[b] += dwo
+        dbo_ref[b] += dbo
+        # gradient entering the previous block's output: adjoint of the flip
+        dy = _dot(dx, rev) if b > 0 else dx
+    dx_ref[...] = dy  # for b == 0, dx IS the gradient w.r.t. the kernel input
+
+
+# ---------------------------------------------------------------------------
+# Host wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _stack_params(params: List[Dict[str, jax.Array]], masks, n_hidden: int):
+    """Mask-premultiply and stack block params -> 6 stacked arrays.
+
+    Output layer is lane-padded to 2D' with D' >= D so tiny D keeps legal
+    tiles; mu/s columns live at [:D] and [D:2D] of the unpadded slice."""
+    w0 = jnp.stack([masks[0] * p["w0"] for p in params])  # [NB, D, H]
+    b0 = jnp.stack([p["b0"][None, :] for p in params])  # [NB, 1, H]
+    wh = jnp.stack(
+        [
+            jnp.stack([masks[li] * p[f"w{li}"] for li in range(1, n_hidden)])
+            for p in params
+        ]
+    )  # [NB, NH-1, H, H]
+    bh = jnp.stack(
+        [jnp.stack([p[f"b{li}"][None, :] for li in range(1, n_hidden)]) for p in params]
+    )  # [NB, NH-1, 1, H]
+    wo = jnp.stack([masks[n_hidden] * p[f"w{n_hidden}"] for p in params])  # [NB, H, 2D]
+    bo = jnp.stack([p[f"b{n_hidden}"][None, :] for p in params])  # [NB, 1, 2D]
+    return w0, b0, wh, bh, wo, bo
+
+
+def _tile(b: int) -> Tuple[int, int]:
+    tb = 512 if b > 512 else _ceil_to(b, 8)
+    return tb, _ceil_to(b, tb)
+
+
+@functools.lru_cache(maxsize=None)
+def get_fused_iaf(
+    input_dim: int, hidden_size: int, n_blocks: int, n_hidden: int,
+    interpret: bool | None = None,
+):
+    """Build (and cache) the fused custom-VJP IAF forward for a static shape.
+
+    Returns f(params, x) -> (y, logdet) differentiable w.r.t. both, exactly
+    matching :func:`rlvae_tpu.flows.iaf.iaf_forward` (density direction)."""
+    d, h, nb, nh = input_dim, hidden_size, n_blocks, n_hidden
+    # numpy constants (NOT jnp): the closure is lru-cached, so device arrays
+    # created inside an enclosing trace would leak tracers into later calls
+    masks = tuple(np.asarray(m, np.float32) for m in make_masks(d, [h] * nh))
+    interp = (not _on_tpu()) if interpret is None else interpret
+
+    def fwd_pallas(params, x):
+        b = x.shape[0]
+        tb, b_pad = _tile(b)
+        stacked = _stack_params(params, masks, nh)
+        x_p = jnp.pad(x.astype(jnp.float32), ((0, b_pad - b), (0, 0)))
+        grid = (b_pad // tb,)
+        rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+        y, ld, ys = pl.pallas_call(
+            functools.partial(_iaf_fwd_kernel, d=d, n_blocks=nb, n_hidden=nh, tb=tb),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                rep(nb, d, h), rep(nb, 1, h),
+                rep(nb, nh - 1, h, h), rep(nb, nh - 1, 1, h),
+                rep(nb, h, 2 * d), rep(nb, 1, 2 * d),
+            ],
+            out_specs=[
+                pl.BlockSpec((tb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, tb, d), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b_pad, d), jnp.float32),
+                jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((nb, b_pad, d), jnp.float32),
+            ],
+            interpret=interp,
+        )(x_p, *stacked)
+        return y[:b], ld[:b, 0], ys
+
+    def bwd_pallas(params, x, ys, dy, dld):
+        b = x.shape[0]
+        tb, b_pad = _tile(b)
+        stacked = _stack_params(params, masks, nh)
+        pad = lambda a: jnp.pad(a.astype(jnp.float32), ((0, b_pad - b), (0, 0)))
+        x_p = pad(x)
+        dy_p = pad(dy)
+        dld_p = pad(dld[:, None])
+        grid = (b_pad // tb,)
+        rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            functools.partial(_iaf_bwd_kernel, d=d, n_blocks=nb, n_hidden=nh, tb=tb),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, tb, d), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                rep(nb, d, h), rep(nb, 1, h),
+                rep(nb, nh - 1, h, h), rep(nb, nh - 1, 1, h),
+                rep(nb, h, 2 * d), rep(nb, 1, 2 * d),
+            ],
+            out_specs=[
+                pl.BlockSpec((tb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                rep(nb, d, h), rep(nb, 1, h),
+                rep(nb, nh - 1, h, h), rep(nb, nh - 1, 1, h),
+                rep(nb, h, 2 * d), rep(nb, 1, 2 * d),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b_pad, d), jnp.float32),
+                jax.ShapeDtypeStruct((nb, d, h), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 1, h), jnp.float32),
+                jax.ShapeDtypeStruct((nb, nh - 1, h, h), jnp.float32),
+                jax.ShapeDtypeStruct((nb, nh - 1, 1, h), jnp.float32),
+                jax.ShapeDtypeStruct((nb, h, 2 * d), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 1, 2 * d), jnp.float32),
+            ],
+            interpret=interp,
+        )(x_p, ys, dy_p, dld_p, *stacked)
+        dx, dw0, db0, dwh, dbh, dwo, dbo = outs
+        # unstack into the list-of-dicts param structure; weight grads pass
+        # back through the mask premultiply (chain rule of mask * w)
+        d_params = []
+        for bi in range(nb):
+            blk = {
+                "w0": masks[0] * dw0[bi],
+                "b0": db0[bi, 0],
+                f"w{nh}": masks[nh] * dwo[bi],
+                f"b{nh}": dbo[bi, 0],
+            }
+            for li in range(1, nh):
+                blk[f"w{li}"] = masks[li] * dwh[bi, li - 1]
+                blk[f"b{li}"] = dbh[bi, li - 1, 0]
+            d_params.append(blk)
+        return d_params, dx[:b]
+
+    @jax.custom_vjp
+    def fused(params, x):
+        y, ld, _ = fwd_pallas(params, x)
+        return y, ld
+
+    def fused_fwd(params, x):
+        y, ld, ys = fwd_pallas(params, x)
+        return (y, ld), (params, x, ys)
+
+    def fused_bwd(res, cotangents):
+        params, x, ys = res
+        dy, dld = cotangents
+        return bwd_pallas(params, x, ys, dy, dld)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
