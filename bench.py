@@ -96,6 +96,10 @@ def main():
         f"-> {hmc_rate:.3e} chain-leapfrog steps/s"
     )
 
+    # --- flagship train step (fused IAF kernel path, B=64) -------------------
+    train_ms = measure_train_step(metric)
+    log(f"flagship train step (B=64, 8 flows, riemannian posterior): {train_ms:.2f} ms")
+
     torch_rate = measure_torch_hmc(metric)
     hmc_vs_torch = None
     if torch_rate:
@@ -112,11 +116,47 @@ def main():
         "vs_baseline": round(best / BASELINE_EVALS_PER_SEC, 2),
         "hmc_steps_per_sec_reference_shape": round(hmc_rate, 1),
         "hmc_seconds_per_official_prior_run": round(t_ref, 4),
+        "train_step_ms_b64_flagship": round(train_ms, 2),
     }
     if torch_rate:
         result["hmc_torch_same_host_steps_per_sec"] = round(torch_rate, 1)
         result["hmc_vs_torch_same_host"] = round(hmc_vs_torch, 1)
     print(json.dumps(result))
+
+
+def measure_train_step(metric, batch=64, reps=20):
+    """ms per flagship train step (forward+grad+Adam, donated state, fused
+    IAF kernels) with the batch pre-staged on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from rlvae_tpu.models import RlVAE
+    from rlvae_tpu.train.optim import make_optimizer
+    from rlvae_tpu.train.trainer import make_train_step
+
+    model = RlVAE(
+        input_dim=(3, 64, 64), latent_dim=16, n_flows=8,
+        posterior_type="riemannian_metric", metric=metric,
+    )
+    v = model.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(1e-3, 0.0)
+    os_ = opt.init(v["params"])
+    step = make_train_step(model, opt)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(batch, 8, 3, 64, 64)).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(1)
+    for _ in range(3):
+        v, os_, m = step(v, os_, x, key)
+    jax.block_until_ready(m)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            v, os_, m = step(v, os_, x, key)
+        jax.block_until_ready(m)
+        times.append((time.perf_counter() - t0) / reps)
+    return float(np.median(times)) * 1e3
 
 
 def measure_torch_hmc(metric, n_chains=50, mcmc_steps=10, n_lf=15):

@@ -34,7 +34,14 @@ def get_lr(opt_state) -> float:
 
 
 def set_lr(opt_state, lr: float):
-    opt_state.hyperparams["learning_rate"] = lr
+    # keep the leaf an ARRAY: a Python float would re-trace the jitted
+    # epoch/step function on every LR change (weak-typed scalar constant)
+    import jax.numpy as jnp
+
+    old = opt_state.hyperparams["learning_rate"]
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+        lr, dtype=getattr(old, "dtype", jnp.float32)
+    )
     return opt_state
 
 
