@@ -131,9 +131,22 @@ def batch_iterator(
 
 
 class CyclicDataModule:
-    """Train/val/test wiring from the data + training config nodes."""
+    """Train/val/test wiring from the data + training config nodes.
 
-    def __init__(self, data_config: Mapping[str, Any], seed: int = 42):
+    Multi-host ready: on a multi-process runtime each host keeps only its
+    ``jax.process_index()``-strided slice of the training sequences (per-host
+    data loading for data parallelism over DCN; SURVEY §2c item 3).  Val/test
+    stay replicated — they are host-0-logged summaries.  ``process_index`` /
+    ``process_count`` can be passed explicitly for testing without a real
+    multi-process runtime."""
+
+    def __init__(
+        self,
+        data_config: Mapping[str, Any],
+        seed: int = 42,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+    ):
         self.config = dict(data_config)
         self.seed = seed
         self.train: Optional[CyclicSequenceDataset] = None
@@ -141,6 +154,13 @@ class CyclicDataModule:
         self.test: Optional[CyclicSequenceDataset] = None
         self.batch_size = 8
         self._native_loader = None
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index() if process_index is None else process_index
+            process_count = jax.process_count() if process_count is None else process_count
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
 
     def _resolve(self, key: str) -> Optional[Path]:
         raw = self.config.get(key)
@@ -190,8 +210,16 @@ class CyclicDataModule:
         test_raw = self._load_or_synthesize(
             "test_path", int(self.config.get("synthetic_n_test", 200)), self.seed + 1
         )
+        # apply the global subset BEFORE slicing so every process count sees
+        # the same effective dataset, then keep this host's strided shard
+        if n_train is not None:
+            train_raw = train_raw[: int(n_train)]
+        if self.process_count > 1:
+            # equal shard sizes keep every host's step count in lockstep
+            per_host = train_raw.shape[0] // self.process_count
+            train_raw = train_raw[self.process_index :: self.process_count][:per_host]
         self.train = CyclicSequenceDataset(
-            train_raw, n_samples=n_train, verify_cyclicity=verify, cyclicity_threshold=thresh
+            train_raw, verify_cyclicity=verify, cyclicity_threshold=thresh
         )
         # validation = head of the test file (reference: cyclic_dataset.py:186-200)
         self.val = CyclicSequenceDataset(
