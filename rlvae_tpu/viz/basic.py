@@ -68,4 +68,69 @@ class BasicVisualizations(BaseVisualization):
             ax.plot(proj[i, 0, 0], proj[i, 0, 1], "k^", ms=6)
         ax.set_title(f"Latent trajectories, PCA (epoch {epoch})")
         written.append(self.save_figure(fig, epoch, "trajectories"))
+
+        # 4. Cyclicity analysis panels (reference: basic.py:21-149): original
+        # vs reconstructed cyclicity scatter, latent-cyclicity histogram,
+        # first/last frame pairs, trajectory closure
+        fig, axes = plt.subplots(2, 3, figsize=(14, 8))
+        axes[0, 0].scatter(mse_orig, mse_recon, alpha=0.7)
+        lim = max(mse_orig.max(), mse_recon.max()) + 1e-12
+        axes[0, 0].plot([0, lim], [0, lim], "r--", alpha=0.5)
+        axes[0, 0].set_xlabel("original first-last MSE")
+        axes[0, 0].set_ylabel("reconstructed first-last MSE")
+        axes[0, 0].set_title("Original vs reconstructed cyclicity")
+        axes[0, 1].hist(mse_latent, bins=min(20, len(mse_latent)), alpha=0.8)
+        axes[0, 1].set_xlabel("latent first-last MSE")
+        axes[0, 1].set_title(f"Latent cyclicity (mean {mse_latent.mean():.2e})")
+        axes[0, 2].imshow(
+            np.concatenate([_to_img(x[0, 0]), _to_img(x[0, -1])], axis=1)
+        )
+        axes[0, 2].set_title("Original: first | last")
+        axes[0, 2].axis("off")
+        axes[1, 0].imshow(
+            np.concatenate([_to_img(recon[0, 0]), _to_img(recon[0, -1])], axis=1)
+        )
+        axes[1, 0].set_title("Recon: first | last")
+        axes[1, 0].axis("off")
+        axes[1, 1].plot(proj[0, :, 0], proj[0, :, 1], "o-", alpha=0.8)
+        axes[1, 1].scatter(*proj[0, 0], color="green", s=90, marker="s", label="start", zorder=5)
+        axes[1, 1].scatter(*proj[0, -1], color="red", s=110, marker="*", label="end", zorder=5)
+        closure = float(np.linalg.norm(proj[0, 0] - proj[0, -1]))
+        axes[1, 1].set_title(f"Latent trajectory (closure {closure:.3f})")
+        axes[1, 1].legend()
+        per_t = np.mean((recon - x) ** 2, axis=(0, 2, 3, 4))
+        axes[1, 2].plot(per_t, "o-")
+        axes[1, 2].set_xlabel("timestep"), axes[1, 2].set_ylabel("MSE")
+        axes[1, 2].set_title("Per-timestep reconstruction error")
+        fig.suptitle(f"Cyclicity analysis (epoch {epoch})")
+        fig.tight_layout()
+        written.append(self.save_figure(fig, epoch, "cyclicity_analysis"))
+
+        # 5. Reconstruction-analysis suite (reference: basic.py:274-317):
+        # per-frame orig/recon/|error| strips + error statistics
+        seq = 0
+        err = np.abs(recon[seq] - x[seq])
+        fig, axes = plt.subplots(2, 3, figsize=(15, 8))
+        strips = [
+            ("Original frames", np.concatenate([_to_img(x[seq, t]) for t in range(t_show)], axis=1)),
+            ("Reconstructed frames", np.concatenate([_to_img(recon[seq, t]) for t in range(t_show)], axis=1)),
+            ("Absolute error", np.concatenate([_to_img(err[t] / (err.max() + 1e-8)) for t in range(t_show)], axis=1)),
+        ]
+        for ax_, (title, img) in zip(axes[0], strips):
+            ax_.imshow(img)
+            ax_.set_title(title)
+            ax_.axis("off")
+        axes[1, 0].plot(err.mean(axis=(1, 2, 3)), "o-")
+        axes[1, 0].set_xlabel("timestep"), axes[1, 0].set_title("Mean |error| per frame")
+        axes[1, 1].hist(err.ravel()[:: max(1, err.size // 20000)], bins=40, alpha=0.8)
+        axes[1, 1].set_title("Pixel error distribution")
+        psnr = 10 * np.log10(1.0 / np.maximum(np.mean((recon - x) ** 2, axis=(2, 3, 4)), 1e-12))
+        for i in range(min(4, psnr.shape[0])):
+            axes[1, 2].plot(psnr[i], "o-", alpha=0.7, label=f"seq {i}")
+        axes[1, 2].set_xlabel("timestep"), axes[1, 2].set_ylabel("PSNR (dB)")
+        axes[1, 2].set_title("Per-sequence PSNR")
+        axes[1, 2].legend(fontsize=7)
+        fig.suptitle(f"Reconstruction analysis (epoch {epoch})")
+        fig.tight_layout()
+        written.append(self.save_figure(fig, epoch, "reconstruction_analysis"))
         return written

@@ -18,6 +18,58 @@ from rlvae_tpu.viz.base import BaseVisualization
 
 
 class FlowAnalysisVisualizations(BaseVisualization):
+    def _flow_animation(self, epoch, model, z, spectra):
+        """Timestep-slider animation of the flow's spatial evolution with
+        det-G coloring + per-flow spectral summary (reference:
+        flow_analysis.py:382-530, plotly animation -> dependency-free HTML)."""
+        import base64
+        import io
+        import json
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from rlvae_tpu.geometry import log_sqrt_det_g_inv
+        from rlvae_tpu.viz.interactive import _SLIDER_HTML
+
+        flat = z.reshape(-1, z.shape[-1])
+        proj, _ = self.pca_fit_transform(flat)
+        z2 = proj.reshape(z.shape[0], z.shape[1], 2)
+        dets = np.asarray(
+            log_sqrt_det_g_inv(model.metric, jnp.asarray(flat, jnp.float32))
+        ).reshape(z.shape[0], z.shape[1])
+        rad = [float(s[0]) for s in spectra]  # spectral radius per flow
+
+        frames = []
+        for t in range(z.shape[1]):
+            fig, (a0, a1, a2) = plt.subplots(1, 3, figsize=(10, 3), dpi=64)
+            sc = a0.scatter(z2[:, t, 0], z2[:, t, 1], c=dets[:, t], cmap="viridis", s=28)
+            for i in range(min(6, z2.shape[0])):
+                a0.plot(z2[i, : t + 1, 0], z2[i, : t + 1, 1], "-", alpha=0.4, lw=1)
+            fig.colorbar(sc, ax=a0)
+            a0.set_title(f"flow spatial evolution t={t}", fontsize=8)
+            a1.plot(dets.T, alpha=0.5)
+            a1.axvline(t, color="red")
+            a1.set_title(r"$\log\sqrt{\det G^{-1}}$ evolution", fontsize=8)
+            a2.bar(np.arange(len(rad)), rad, alpha=0.8)
+            if t > 0 and t - 1 < len(rad):
+                a2.bar([t - 1], [rad[t - 1]], color="red")
+            a2.set_title("flow spectral radius (red = active)", fontsize=8)
+            buf = io.BytesIO()
+            fig.savefig(buf, format="png", bbox_inches="tight")
+            plt.close(fig)
+            frames.append(base64.b64encode(buf.getvalue()).decode())
+        html = _SLIDER_HTML.format(
+            title=f"Flow evolution animation (epoch {epoch})",
+            tmax=len(frames) - 1,
+            data_json=json.dumps([frames]),
+        )
+        path = self._path(epoch, "flow_animation", ext="html")
+        path.write_text(html)
+        return path
+
     def run(self, epoch: int, model, variables, sample_batch) -> List:
         if model.n_flows == 0:
             return []
@@ -56,6 +108,12 @@ class FlowAnalysisVisualizations(BaseVisualization):
         ax.set_title(f"Flow Jacobian spectra (epoch {epoch})")
         ax.legend(fontsize=7, ncol=2)
         written.append(self.save_figure(fig, epoch, "flow_jacobians"))
+
+        # flow interactive animation (reference: flow_analysis.py:382-530):
+        # a timestep slider over [PCA scatter colored by det | det evolution
+        # | Jacobian spectral radius], self-contained HTML
+        if model.metric is not None:
+            written.append(self._flow_animation(epoch, model, z, spectra))
 
         # det G^{-1} evolution along the flow (when a metric exists)
         if model.metric is not None:

@@ -108,8 +108,13 @@ class VisualizationManager:
             if freq > 0 and epoch % freq == 0:
                 try:
                     written.extend(module.run(epoch, model, variables, sample_batch) or [])
-                except Exception as e:  # viz must never kill training
-                    print(f"[viz] {type(module).__name__} failed: {e}")
+                except Exception as e:  # viz must never kill training...
+                    # ...but failures go through the metrics logger so a
+                    # broken category can't fail silently for a whole run
+                    msg = f"{type(module).__name__} failed at epoch {epoch}: {e}"
+                    if self.logger is not None:
+                        self.logger.log({"viz/error": msg, "epoch": epoch})
+                    print(f"[viz] WARNING: {msg}")
         return written
 
 

@@ -107,4 +107,52 @@ class ManifoldVisualizations(BaseVisualization):
         ax.set_xlabel("timestep"), ax.set_ylabel(r"$\log\sqrt{\det G^{-1}(z_t)}$")
         ax.set_title(f"Metric along temporal trajectories (epoch {epoch})")
         written.append(self.save_figure(fig, epoch, "temporal_metric"))
+
+        # enhanced manifold heatmaps (reference: manifold.py:262-366): one
+        # column per shown timestep — flow-evolved latents over the local
+        # sqrt(det G^{-1}) field in the timestep's own PCA neighborhood
+        t_show = list(range(0, z.shape[1], max(1, z.shape[1] // 4)))[:4]
+        fig, axes = plt.subplots(2, len(t_show), figsize=(4 * len(t_show), 7.5))
+        for col, t in enumerate(t_show):
+            zt = z_proj.reshape(z.shape[0], z.shape[1], 2)[:, t]
+            ax0 = axes[0, col]
+            ax0.pcolormesh(gx, gy, vals, shading="auto", cmap="viridis", alpha=0.85)
+            ax0.scatter(zt[:, 0], zt[:, 1], c="white", s=22, edgecolors="k")
+            ax0.set_title(f"Flow-evolved coords t={t}")
+            ax0.set_xticks([]), ax0.set_yticks([])
+            ax1 = axes[1, col]
+            ax1.hist(dets[:, t], bins=10, alpha=0.8, color="tab:purple")
+            ax1.set_title(f"$\\log\\sqrt{{\\det G^{{-1}}}}$ at t={t}")
+        fig.suptitle(f"Enhanced manifold heatmaps (epoch {epoch})")
+        fig.tight_layout()
+        written.append(self.save_figure(fig, epoch, "enhanced_heatmaps"))
+
+        # temporal metric analysis 2x2 (reference: manifold.py:367-470):
+        # mean det / condition number / eigenvalue spread / trace over time
+        from rlvae_tpu.geometry import g_inv as _g_inv
+
+        gi = np.asarray(_g_inv(model.metric, jnp.asarray(flat, jnp.float32)))
+        eig = np.linalg.eigvalsh(gi).reshape(z.shape[0], z.shape[1], -1)
+        cond = eig[..., -1] / np.maximum(eig[..., 0], 1e-12)
+        trace = np.trace(gi, axis1=-2, axis2=-1).reshape(z.shape[0], z.shape[1])
+        fig, axes = plt.subplots(2, 2, figsize=(12, 8))
+        axes[0, 0].plot(dets.mean(0), "o-")
+        axes[0, 0].fill_between(
+            np.arange(dets.shape[1]),
+            dets.mean(0) - dets.std(0), dets.mean(0) + dets.std(0), alpha=0.3,
+        )
+        axes[0, 0].set_title(r"Mean $\log\sqrt{\det G^{-1}}$ evolution")
+        axes[0, 1].semilogy(cond.mean(0), "o-", color="tab:orange")
+        axes[0, 1].set_title("Condition number evolution")
+        axes[1, 0].semilogy(eig[..., -1].mean(0), "o-", label=r"$\lambda_{max}$")
+        axes[1, 0].semilogy(eig[..., 0].mean(0), "o-", label=r"$\lambda_{min}$")
+        axes[1, 0].set_title("Eigenvalue spread of $G^{-1}(z_t)$")
+        axes[1, 0].legend()
+        axes[1, 1].plot(trace.mean(0), "o-", color="tab:green")
+        axes[1, 1].set_title(r"Mean $\mathrm{tr}\,G^{-1}(z_t)$")
+        for ax_ in axes.ravel():
+            ax_.set_xlabel("timestep")
+        fig.suptitle(f"Temporal metric analysis (epoch {epoch})")
+        fig.tight_layout()
+        written.append(self.save_figure(fig, epoch, "temporal_metric_analysis"))
         return written
