@@ -124,11 +124,17 @@ class RlVAE:
             },
         }
         if self.pretrained_encoder_path or self.pretrained_decoder_path:
-            variables = self.load_pretrained_components(
-                variables,
-                encoder_path=self.pretrained_encoder_path,
-                decoder_path=self.pretrained_decoder_path,
-            )
+            try:
+                variables = self.load_pretrained_components(
+                    variables,
+                    encoder_path=self.pretrained_encoder_path,
+                    decoder_path=self.pretrained_decoder_path,
+                )
+            except ValueError as e:
+                # architecture mismatch (e.g. a cnn/resnet config pointing at
+                # the MLP artifacts): warn and train from scratch, matching
+                # the reference's tolerant loader (encoder_manager.py:260-326)
+                print(f"[rlvae] WARNING: pretrained components not loaded: {e}")
         return variables
 
     def load_pretrained_components(
