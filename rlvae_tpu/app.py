@@ -250,11 +250,20 @@ def build_report(
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("run_dir", type=Path)
+    ap.add_argument("run_dir", type=Path, nargs="?", default=Path("outputs"))
     ap.add_argument("--out", type=Path, default=None)
     ap.add_argument("--n-samples", type=int, default=4)
+    ap.add_argument("--serve", action="store_true",
+                    help="serve the live 6-page research app over this "
+                         "outputs directory instead of writing a static report")
+    ap.add_argument("--port", type=int, default=8008)
     args = ap.parse_args(argv)
-    build_report(args.run_dir, args.out, args.n_samples)
+    if args.serve:
+        from rlvae_tpu.app_server import serve
+
+        serve(args.run_dir, port=args.port, block=True)
+    else:
+        build_report(args.run_dir, args.out, args.n_samples)
 
 
 if __name__ == "__main__":

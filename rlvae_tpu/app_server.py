@@ -1,0 +1,423 @@
+"""Live research app server — the Streamlit app's capability on stdlib HTTP.
+
+Reimplements the reference's 6-page Streamlit application (reference:
+app.py:64, app/pages/{overview,experiment_manager,model_inference,
+latent_exploration,model_comparison,visualization_gallery}.py and
+app/backend/{model_manager,experiment_runner}.py) without Streamlit (not
+installed here): a ``http.server`` JSON API + a single-file vanilla-JS UI.
+
+Capabilities matched:
+- overview: runs on disk with their configs/results,
+- experiment manager: launch a training run IN A THREAD with live metric
+  streaming (the StreamlitExperimentRunner + StreamlitProgressCallback
+  behavior, experiment_runner.py:32,394),
+- model inference: reconstructions + prior generations from any trained run
+  through the jitted ModelManager,
+- latent exploration: PCA scatter with decoded hover images,
+- model comparison: final metrics table across runs,
+- visualization gallery: artifacts written by the viz suite, served inline.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+def _png_b64(frame_chw: np.ndarray) -> str:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(2, 2), dpi=64)
+    ax.imshow(np.clip(np.transpose(frame_chw, (1, 2, 0)), 0, 1))
+    ax.axis("off")
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", bbox_inches="tight", pad_inches=0)
+    plt.close(fig)
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+class ExperimentBackend:
+    """Threaded experiment launcher with live metric streaming (reference:
+    app/backend/experiment_runner.py:32-391)."""
+
+    def __init__(self, outputs_dir: str | Path = "outputs"):
+        self.outputs_dir = Path(outputs_dir)
+        self.experiments: Dict[str, Dict[str, Any]] = {}
+        self._lock = threading.Lock()
+
+    def start_experiment(self, overrides: List[str]) -> str:
+        from rlvae_tpu.config import compose
+
+        run_id = uuid.uuid4().hex[:8]
+        run_dir = self.outputs_dir / f"app_{run_id}"
+        state: Dict[str, Any] = {
+            "id": run_id, "status": "running", "records": [],
+            "run_dir": str(run_dir), "overrides": list(overrides),
+            "started": time.time(), "error": None,
+        }
+        with self._lock:
+            self.experiments[run_id] = state
+
+        def on_log(record):
+            with self._lock:
+                state["records"].append(record)
+
+        def worker():
+            try:
+                from run_experiment import ExperimentRunner
+
+                conf_dir = Path(__file__).resolve().parents[1] / "conf"
+                cfg = compose(conf_dir, overrides=list(overrides))
+                cfg.set("run.dir", str(run_dir))
+                ExperimentRunner(cfg, progress_callback=on_log).run()
+                state["status"] = "completed"
+            except Exception as e:  # surfaced to the UI, not swallowed
+                state["status"] = "failed"
+                state["error"] = f"{type(e).__name__}: {e}"
+
+        threading.Thread(target=worker, daemon=True).start()
+        return run_id
+
+    def get_progress(self, run_id: str, since: int = 0) -> Dict[str, Any]:
+        with self._lock:
+            state = self.experiments.get(run_id)
+            if state is None:
+                return {"error": "unknown experiment"}
+            return {
+                "id": run_id, "status": state["status"], "error": state["error"],
+                "run_dir": state["run_dir"], "n_records": len(state["records"]),
+                "records": state["records"][since:],
+            }
+
+    def list_experiments(self) -> List[Dict[str, Any]]:
+        with self._lock:
+            return [
+                {k: v for k, v in s.items() if k != "records"}
+                for s in self.experiments.values()
+            ]
+
+
+class AppState:
+    """Shared server state: run discovery + ModelManager cache."""
+
+    def __init__(self, outputs_dir: str | Path = "outputs"):
+        self.outputs_dir = Path(outputs_dir)
+        self.backend = ExperimentBackend(outputs_dir)
+        self._managers: Dict[str, Any] = {}
+        self._lock = threading.Lock()
+
+    def list_runs(self) -> List[Dict[str, Any]]:
+        import yaml
+
+        runs = []
+        if not self.outputs_dir.is_dir():
+            return runs
+        for d in sorted(self.outputs_dir.iterdir()):
+            if not (d / "config.yaml").exists():
+                continue
+            entry: Dict[str, Any] = {
+                "name": d.name,
+                "has_checkpoint": (d / "checkpoints" / "best").exists(),
+                "has_results": (d / "results.yaml").exists(),
+            }
+            if entry["has_results"]:
+                try:
+                    entry["results"] = yaml.safe_load((d / "results.yaml").read_text())
+                except Exception:
+                    entry["results"] = None
+            runs.append(entry)
+        return runs
+
+    def manager(self, run_name: str):
+        from rlvae_tpu.inference import ModelManager
+
+        with self._lock:
+            if run_name not in self._managers:
+                self._managers[run_name] = ModelManager.from_run(
+                    self.outputs_dir / run_name
+                )
+            return self._managers[run_name]
+
+    def sample_batch(self, run_name: str, n: int = 4) -> np.ndarray:
+        import yaml
+
+        from rlvae_tpu.data import CyclicDataModule
+
+        full = yaml.safe_load((self.outputs_dir / run_name / "config.yaml").read_text())
+        dm = CyclicDataModule(full.get("data", {}))
+        dm.setup(full.get("training", {}))
+        return dm.get_sample_batch("val", n)
+
+
+PAGES = (
+    "overview", "experiments", "inference",
+    "latent_exploration", "comparison", "gallery",
+)
+
+_SHELL = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>rlvae_tpu — {page}</title>
+<style>
+body{{font-family:sans-serif;max-width:1200px;margin:18px auto;padding:0 14px}}
+nav a{{margin-right:14px}} nav a.active{{font-weight:bold}}
+table{{border-collapse:collapse}} td,th{{border:1px solid #ccc;padding:4px 8px;font-size:13px}}
+img.frame{{width:96px;height:96px;image-rendering:pixelated;border:1px solid #ccc}}
+pre{{background:#f6f6f6;padding:8px;overflow-x:auto}}
+#status{{color:#666}} button{{padding:6px 12px}}
+svg circle{{cursor:pointer}}
+</style></head>
+<body>
+<h1>rlvae_tpu research app</h1>
+<nav>{nav}</nav>
+<div id="app"><p id="status">loading…</p></div>
+<script>
+const API = p => fetch(p).then(r => r.json());
+const app = document.getElementById('app');
+{script}
+</script></body></html>
+"""
+
+_PAGE_SCRIPTS = {
+    "overview": """
+API('/api/runs').then(runs => {
+  let html = '<h2>Overview</h2><table><tr><th>run</th><th>checkpoint</th><th>best val loss</th></tr>';
+  for (const r of runs) {
+    const bv = r.results && r.results.best_val_loss != null ? r.results.best_val_loss.toFixed(3) : '—';
+    html += `<tr><td>${r.name}</td><td>${r.has_checkpoint ? 'yes' : 'no'}</td><td>${bv}</td></tr>`;
+  }
+  app.innerHTML = html + '</table>';
+});
+""",
+    "experiments": """
+function refresh(id, since) {
+  API(`/api/experiments/${id}/progress?since=${since}`).then(p => {
+    const log = document.getElementById('log');
+    for (const r of p.records) {
+      const keys = Object.keys(r).filter(k => !k.startsWith('_')).slice(0, 6);
+      log.textContent += keys.map(k => `${k}=${typeof r[k] === 'number' ? r[k].toFixed(3) : r[k]}`).join(' ') + '\\n';
+    }
+    document.getElementById('state').textContent = p.status + (p.error ? ': ' + p.error : '');
+    if (p.status === 'running') setTimeout(() => refresh(id, p.n_records), 1000);
+  });
+}
+app.innerHTML = `<h2>Experiment manager</h2>
+<p>Hydra-style overrides (one per line):</p>
+<textarea id="ov" rows="4" cols="60">model=vanilla_vae\ntraining=quick\nvisualization=minimal</textarea><br>
+<button id="go">Launch training</button> <span id="state"></span>
+<pre id="log" style="height:300px;overflow-y:scroll"></pre>`;
+document.getElementById('go').onclick = () => {
+  const overrides = document.getElementById('ov').value.split('\\n').map(s => s.trim()).filter(Boolean);
+  fetch('/api/experiments', {method: 'POST', body: JSON.stringify({overrides})})
+    .then(r => r.json()).then(d => { document.getElementById('state').textContent = 'running ' + d.id; refresh(d.id, 0); });
+};
+""",
+    "inference": """
+API('/api/runs').then(runs => {
+  const opts = runs.filter(r => r.has_checkpoint).map(r => `<option>${r.name}</option>`).join('');
+  app.innerHTML = `<h2>Model inference</h2><select id="run">${opts}</select>
+  <button id="rec">Reconstruct</button> <button id="gen">Generate</button><div id="out"></div>`;
+  const show = d => {
+    document.getElementById('out').innerHTML = d.rows.map(row =>
+      '<div>' + row.map(b => `<img class="frame" src="data:image/png;base64,${b}">`).join('') + '</div>'
+    ).join('');
+  };
+  document.getElementById('rec').onclick = () =>
+    API('/api/model/' + document.getElementById('run').value + '/reconstruct').then(show);
+  document.getElementById('gen').onclick = () =>
+    API('/api/model/' + document.getElementById('run').value + '/generate').then(show);
+});
+""",
+    "latent_exploration": """
+API('/api/runs').then(runs => {
+  const opts = runs.filter(r => r.has_checkpoint).map(r => `<option>${r.name}</option>`).join('');
+  app.innerHTML = `<h2>Latent exploration</h2><select id="run">${opts}</select>
+  <button id="go">Explore</button>
+  <div style="display:flex;gap:20px"><svg id="plot" width="600" height="520" style="border:1px solid #aaa"></svg>
+  <div><img id="img" class="frame" style="width:160px;height:160px"><p id="info"></p></div></div>`;
+  document.getElementById('go').onclick = () =>
+    API('/api/model/' + document.getElementById('run').value + '/latents').then(d => {
+      const svg = document.getElementById('plot'); svg.innerHTML = '';
+      const xs = d.points.map(p => p.x), ys = d.points.map(p => p.y);
+      const xmin = Math.min(...xs), xmax = Math.max(...xs), ymin = Math.min(...ys), ymax = Math.max(...ys);
+      const X = v => 25 + (v - xmin) / (xmax - xmin + 1e-9) * 550;
+      const Y = v => 495 - (v - ymin) / (ymax - ymin + 1e-9) * 470;
+      const colors = ['#4c78a8','#f58518','#54a24b','#e45756','#72b7b2','#b279a2'];
+      for (const p of d.points) {
+        const c = document.createElementNS('http://www.w3.org/2000/svg', 'circle');
+        c.setAttribute('cx', X(p.x)); c.setAttribute('cy', Y(p.y)); c.setAttribute('r', 6);
+        c.setAttribute('fill', colors[p.seq % colors.length]);
+        c.addEventListener('mouseenter', () => {
+          document.getElementById('img').src = 'data:image/png;base64,' + p.img;
+          document.getElementById('info').textContent = `seq ${p.seq}, t=${p.t}`;
+        });
+        svg.appendChild(c);
+      }
+    });
+});
+""",
+    "comparison": """
+API('/api/runs').then(runs => {
+  const done = runs.filter(r => r.results && r.results.test);
+  const keys = [...new Set(done.flatMap(r => Object.keys(r.results.test)))].slice(0, 8);
+  let html = '<h2>Model comparison</h2><table><tr><th>run</th>' + keys.map(k => `<th>${k}</th>`).join('') + '</tr>';
+  for (const r of done)
+    html += `<tr><td>${r.name}</td>` + keys.map(k => `<td>${(r.results.test[k] ?? 0).toFixed ? (r.results.test[k]).toFixed(3) : r.results.test[k]}</td>`).join('') + '</tr>';
+  app.innerHTML = html + '</table>';
+});
+""",
+    "gallery": """
+API('/api/gallery').then(d => {
+  let html = '<h2>Visualization gallery</h2>';
+  for (const a of d.artifacts)
+    html += `<p><a href="/artifact?path=${encodeURIComponent(a)}" target="_blank">${a}</a></p>`;
+  app.innerHTML = html || '<p>no artifacts yet</p>';
+});
+""",
+}
+
+
+def _render_page(page: str) -> str:
+    nav = "".join(
+        f'<a href="/page/{p}" class="{"active" if p == page else ""}">{p.replace("_", " ")}</a>'
+        for p in PAGES
+    )
+    return _SHELL.format(page=page, nav=nav, script=_PAGE_SCRIPTS[page])
+
+
+def make_handler(state: AppState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _html(self, text, code=200, ctype="text/html"):
+            body = text.encode() if isinstance(text, str) else text
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            q = parse_qs(url.query)
+            parts = [p for p in url.path.split("/") if p]
+            try:
+                if url.path in ("/", "/page", "/page/"):
+                    return self._html(_render_page("overview"))
+                if len(parts) == 2 and parts[0] == "page" and parts[1] in PAGES:
+                    return self._html(_render_page(parts[1]))
+                if url.path == "/api/runs":
+                    return self._json(state.list_runs())
+                if url.path == "/api/gallery":
+                    arts = []
+                    for d in state.outputs_dir.glob("*/visualizations/**/*"):
+                        if d.is_file():
+                            arts.append(str(d.relative_to(state.outputs_dir)))
+                    return self._json({"artifacts": sorted(arts)[:200]})
+                if url.path == "/artifact":
+                    rel = q.get("path", [""])[0]
+                    target = (state.outputs_dir / rel).resolve()
+                    if not str(target).startswith(str(state.outputs_dir.resolve())):
+                        return self._json({"error": "forbidden"}, 403)
+                    ctype = "text/html" if target.suffix == ".html" else "image/png"
+                    return self._html(target.read_bytes(), ctype=ctype)
+                if len(parts) == 4 and parts[:2] == ["api", "experiments"] and parts[3] == "progress":
+                    since = int(q.get("since", ["0"])[0])
+                    return self._json(state.backend.get_progress(parts[2], since))
+                if url.path == "/api/experiments":
+                    return self._json(state.backend.list_experiments())
+                if len(parts) == 4 and parts[:2] == ["api", "model"]:
+                    return self._model_api(parts[2], parts[3], q)
+                return self._json({"error": "not found"}, 404)
+            except Exception as e:
+                return self._json({"error": f"{type(e).__name__}: {e}"}, 500)
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                if url.path == "/api/experiments":
+                    run_id = state.backend.start_experiment(payload.get("overrides", []))
+                    return self._json({"id": run_id})
+                return self._json({"error": "not found"}, 404)
+            except Exception as e:
+                return self._json({"error": f"{type(e).__name__}: {e}"}, 500)
+
+        # -- model endpoints (jitted ModelManager) -------------------------
+        def _model_api(self, run_name: str, action: str, q):
+            mm = state.manager(run_name)
+            seed = int(q.get("seed", ["0"])[0])
+            n = int(q.get("n", ["3"])[0])
+            if action == "info":
+                return self._json(mm.get_model_info())
+            if action == "reconstruct":
+                x = state.sample_batch(run_name, n)
+                recon = mm.reconstruct(x, seed=seed)
+                rows = []
+                for i in range(min(n, recon.shape[0])):
+                    rows.append([_png_b64(x[i, t]) for t in range(x.shape[1])])
+                    rows.append([_png_b64(recon[i, t]) for t in range(recon.shape[1])])
+                return self._json({"rows": rows})
+            if action == "generate":
+                n_obs = state.sample_batch(run_name, 1).shape[1]
+                gen = mm.sample_random(n, n_obs=n_obs, seed=seed)
+                rows = [
+                    [_png_b64(gen[i, t]) for t in range(gen.shape[1])]
+                    for i in range(gen.shape[0])
+                ]
+                return self._json({"rows": rows})
+            if action == "latents":
+                x = state.sample_batch(run_name, 6)
+                z = mm.embed_sequence(x, seed=seed)  # [B, T, D]
+                recon = mm.reconstruct(x, seed=seed)
+                flat = z.reshape(-1, z.shape[-1]).astype(np.float64)
+                mean = flat.mean(0)
+                _, _, vt = np.linalg.svd(flat - mean, full_matrices=False)
+                proj = (flat - mean) @ vt[:2].T
+                points = []
+                for i in range(z.shape[0]):
+                    for t in range(z.shape[1]):
+                        k = i * z.shape[1] + t
+                        points.append(
+                            {
+                                "x": float(proj[k, 0]), "y": float(proj[k, 1]),
+                                "seq": i, "t": t, "img": _png_b64(recon[i, t]),
+                            }
+                        )
+                return self._json({"points": points})
+            return self._json({"error": "unknown action"}, 404)
+
+    return Handler
+
+
+def serve(outputs_dir: str | Path = "outputs", port: int = 8008, block: bool = True):
+    """Start the app server; returns (server, state) when block=False."""
+    state = AppState(outputs_dir)
+    server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(state))
+    print(f"[app] serving http://127.0.0.1:{server.server_address[1]} (pages: {', '.join(PAGES)})")
+    if block:
+        server.serve_forever()
+    else:
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, state

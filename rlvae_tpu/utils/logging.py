@@ -34,11 +34,15 @@ class MetricsLogger:
         run_name: Optional[str] = None,
         config: Optional[Mapping[str, Any]] = None,
         mode: str = "disabled",  # online, offline, disabled
+        on_log=None,
     ):
         self.run_dir = Path(run_dir)
         self.is_main = jax.process_index() == 0
         self.wandb_run = None
         self._file = None
+        # live-progress callback (the app server's StreamlitProgressCallback
+        # equivalent, reference: app/backend/experiment_runner.py:394-449)
+        self.on_log = on_log
         if not self.is_main:
             return
         self.run_dir.mkdir(parents=True, exist_ok=True)
@@ -63,6 +67,11 @@ class MetricsLogger:
                 record[k] = v
         self._file.write(json.dumps(record) + "\n")
         self._file.flush()
+        if self.on_log is not None:
+            try:
+                self.on_log(record)
+            except Exception:
+                pass  # a broken progress consumer must never kill training
         if self.wandb_run is not None:
             self.wandb_run.log(dict(metrics), step=step)
 

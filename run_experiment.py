@@ -30,11 +30,14 @@ class ExperimentRunner:
     """Orchestrates single runs, comparison studies and sweeps
     (reference: run_experiment.py:62-340)."""
 
-    def __init__(self, config: Config):
+    def __init__(self, config: Config, progress_callback=None):
         from rlvae_tpu.config.schema import assert_valid
 
         assert_valid(config.to_dict())
         self.config = config
+        # live per-record metrics hook for the app layer (reference:
+        # StreamlitProgressCallback, app/backend/experiment_runner.py:394)
+        self.progress_callback = progress_callback
         self.run_dir = Path(config.get("run.dir", "outputs/run"))
         self.run_dir.mkdir(parents=True, exist_ok=True)
         save_config(config, self.run_dir / "config.yaml")
@@ -84,6 +87,7 @@ class ExperimentRunner:
             run_name=run_name,
             config=self.config.to_dict(),
             mode=self.config.get("wandb.mode", "disabled"),
+            on_log=self.progress_callback,
         )
         viz_hook = make_viz_hook(
             self.config.get("visualization", Config()).to_dict()
