@@ -158,14 +158,37 @@ def g_inv(metric: CentroidMetric, z: Array) -> Array:
     return gi + metric.regularization * jnp.eye(d, dtype=jnp.float32)
 
 
-def chol_g_inv(metric: CentroidMetric, z: Array, jitter: float = 1e-6) -> Array:
-    """L with L L^T = G^{-1}(z) + jitter*I (branchless; no try/except)."""
+def _chol_g_inv_xla(metric: CentroidMetric, z: Array, jitter: float = 1e-6) -> Array:
+    """Reference XLA path (also the backward of the fused kernel)."""
     return _lin.cholesky_small(g_inv(metric, z), jitter=jitter)
 
 
-def g(metric: CentroidMetric, z: Array, jitter: float = 0.0) -> Array:
-    """Metric tensor G(z) = [G^{-1}(z)]^{-1} via unrolled Cholesky solves."""
+def chol_g_inv(metric: CentroidMetric, z: Array, jitter: float = 1e-6) -> Array:
+    """L with L L^T = G^{-1}(z) + jitter*I (branchless; no try/except).
+
+    On TPU the forward runs the fused Pallas bundle (one kernel for the
+    whole weights->G^{-1}->chol chain) with gradients recomputed through
+    this XLA path — putting the north-star kernel on the training hot path
+    (metric-aware posterior + Riemannian KL)."""
+    if jax.default_backend() == "tpu" and z.ndim == 2:
+        from rlvae_tpu.ops.metric_kernels import chol_g_inv_fused
+
+        return chol_g_inv_fused(metric, z, jitter)
+    return _chol_g_inv_xla(metric, z, jitter)
+
+
+def _g_xla(metric: CentroidMetric, z: Array, jitter: float = 0.0) -> Array:
     return _lin.inv_psd_small(g_inv(metric, z), jitter=jitter)
+
+
+def g(metric: CentroidMetric, z: Array, jitter: float = 0.0) -> Array:
+    """Metric tensor G(z) = [G^{-1}(z)]^{-1} via unrolled Cholesky solves
+    (fused Pallas forward on TPU, see chol_g_inv)."""
+    if jitter == 0.0 and jax.default_backend() == "tpu" and z.ndim == 2:
+        from rlvae_tpu.ops.metric_kernels import g_fused
+
+        return g_fused(metric, z)
+    return _g_xla(metric, z, jitter)
 
 
 def chol_g(metric: CentroidMetric, z: Array, jitter: float = 1e-6) -> Array:

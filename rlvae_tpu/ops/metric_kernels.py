@@ -289,6 +289,64 @@ def metric_bundle_pallas(
     )
 
 
+# ---------------------------------------------------------------------------
+# Differentiable fused entry points for the training hot path
+# ---------------------------------------------------------------------------
+#
+# The train step needs gradients through chol(G^{-1}) (metric-aware posterior,
+# riemannian_flow_vae.py:953-1002) and G (full KL / distances).  The bundle
+# kernel serves the forward; the backward recomputes through the XLA
+# reference implementation (rlvae_tpu.geometry.metric) via jax.vjp — small
+# unrolled-linalg ops, and exactly the gradients the parity tests check.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def chol_g_inv_fused(metric: CentroidMetric, z: jax.Array, jitter: float = 0.0):
+    """L with L L^T = G^{-1}(z) + jitter*I — fused Pallas forward."""
+    m = (
+        metric.replace(regularization=metric.regularization + jitter)
+        if jitter
+        else metric
+    )
+    return metric_bundle_pallas(m, z).chol_g_inv
+
+
+def _chol_fwd(metric, z, jitter):
+    return chol_g_inv_fused(metric, z, jitter), (metric, z)
+
+
+def _chol_bwd(jitter, res, ct):
+    from rlvae_tpu.geometry import metric as _gm
+
+    metric, z = res
+    _, vjp = jax.vjp(lambda m, zz: _gm._chol_g_inv_xla(m, zz, jitter), metric, z)
+    return vjp(ct)
+
+
+chol_g_inv_fused.defvjp(_chol_fwd, _chol_bwd)
+
+
+@jax.custom_vjp
+def g_fused(metric: CentroidMetric, z: jax.Array):
+    """G(z) = [G^{-1}(z)]^{-1} — fused Pallas forward."""
+    return metric_bundle_pallas(metric, z).g
+
+
+def _g_fwd(metric, z):
+    return g_fused(metric, z), (metric, z)
+
+
+def _g_bwd(res, ct):
+    from rlvae_tpu.geometry import metric as _gm
+
+    metric, z = res
+    _, vjp = jax.vjp(lambda m, zz: _gm._g_xla(m, zz), metric, z)
+    return vjp(ct)
+
+
+g_fused.defvjp(_g_fwd, _g_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "tb", "interpret"))
 def hmc_terms_pallas(
     metric: CentroidMetric,

@@ -101,3 +101,36 @@ def test_other_latent_dim():
     np.testing.assert_allclose(
         np.asarray(out.g), np.asarray(g(metric, z)), rtol=1e-3, atol=1e-3
     )
+
+
+def test_fused_hot_path_values_and_grads(metric_and_z):
+    """chol_g_inv_fused / g_fused (the train-step entry points) match the XLA
+    path in value AND gradient — both w.r.t. z and the metric params."""
+    import jax
+
+    from rlvae_tpu.geometry import metric as gm
+    from rlvae_tpu.ops.metric_kernels import chol_g_inv_fused, g_fused
+
+    metric, z = metric_and_z
+    zj = jnp.asarray(z[:8])
+
+    np.testing.assert_allclose(
+        np.asarray(chol_g_inv_fused(metric, zj, 1e-6)),
+        np.asarray(gm._chol_g_inv_xla(metric, zj, 1e-6)),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_fused(metric, zj)), np.asarray(gm._g_xla(metric, zj)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    def loss_f(m, zz):
+        return jnp.sum(jnp.sin(chol_g_inv_fused(m, zz, 1e-6))) + jnp.sum(g_fused(m, zz))
+
+    def loss_x(m, zz):
+        return jnp.sum(jnp.sin(gm._chol_g_inv_xla(m, zz, 1e-6))) + jnp.sum(gm._g_xla(m, zz))
+
+    gf = jax.grad(loss_f, argnums=(0, 1))(metric, zj)
+    gx = jax.grad(loss_x, argnums=(0, 1))(metric, zj)
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
