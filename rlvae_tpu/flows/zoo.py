@@ -129,3 +129,98 @@ def radial_forward(params: Dict[str, Array], x: Array) -> Tuple[Array, Array]:
 
 def flow_param_count(params) -> int:
     return sum(np.asarray(a).size for a in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# BaseNF-style unified wrapper
+# ---------------------------------------------------------------------------
+
+
+class NormalizingFlow:
+    """Unified stateful handle over the functional flow families — the
+    equivalent of pythae's BaseNF surface (reference:
+    normalizing_flows/base/base_nf_model.py:16-208: forward/inverse protocol
+    + save/load), over ``iaf`` / ``maf`` / ``planar`` / ``radial``.
+
+    ``forward`` maps data toward the prior returning (y, log|det J|);
+    ``inverse`` maps prior samples back (planar/radial have no closed-form
+    inverse — same as the reference, which raises there too).
+    """
+
+    FAMILIES = ("iaf", "maf", "planar", "radial")
+
+    def __init__(self, family: str, input_dim: int, key=None,
+                 hidden_size: int = 128, n_blocks: int = 2, n_hidden: int = 3,
+                 params=None):
+        from rlvae_tpu.flows.iaf import iaf_forward, iaf_inverse, iaf_masks, init_iaf
+
+        if family not in self.FAMILIES:
+            raise ValueError(f"family must be one of {self.FAMILIES}")
+        self.family = family
+        self.input_dim = input_dim
+        self.meta = {"family": family, "input_dim": input_dim,
+                     "hidden_size": hidden_size, "n_blocks": n_blocks,
+                     "n_hidden": n_hidden}
+        key = key if key is not None else jax.random.PRNGKey(0)
+        if family in ("iaf", "maf"):
+            self.masks = (
+                iaf_masks(input_dim, hidden_size, n_hidden)
+                if family == "iaf"
+                else iaf_masks(input_dim, hidden_size, n_hidden)  # same MADE masks
+            )
+        if family == "iaf":
+            self.params = params if params is not None else init_iaf(
+                key, input_dim, hidden_size, n_blocks, n_hidden)
+            self._fwd = lambda p, x: iaf_forward(p, self.masks, x)
+            self._inv = lambda p, y: iaf_inverse(p, self.masks, y)
+        elif family == "maf":
+            self.params = params if params is not None else init_maf(
+                key, input_dim, hidden_size, n_blocks, n_hidden)
+            self._fwd = lambda p, x: maf_forward(p, self.masks, x)
+            self._inv = lambda p, y: maf_inverse(p, self.masks, y)
+        elif family == "planar":
+            self.params = params if params is not None else init_planar(key, input_dim)
+            self._fwd = planar_forward
+            self._inv = None
+        else:
+            self.params = params if params is not None else init_radial(key, input_dim)
+            self._fwd = radial_forward
+            self._inv = None
+
+    def forward(self, x) -> Tuple[Array, Array]:
+        return self._fwd(self.params, jnp.asarray(x, jnp.float32))
+
+    def inverse(self, y) -> Tuple[Array, Array]:
+        if self._inv is None:
+            raise NotImplementedError(
+                f"{self.family} flows have no closed-form inverse "
+                "(reference raises likewise)"
+            )
+        return self._inv(self.params, jnp.asarray(y, jnp.float32))
+
+    # -- persistence (model.pt + model_config.json equivalent) ---------------
+    def save(self, dir_path) -> None:
+        import json
+        from pathlib import Path
+
+        d = Path(dir_path)
+        d.mkdir(parents=True, exist_ok=True)
+        flat = {}
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(self.params)):
+            flat[f"leaf_{i}"] = np.asarray(leaf)
+        np.savez(d / "model.npz", **flat)
+        (d / "model_config.json").write_text(json.dumps(self.meta))
+
+    @classmethod
+    def load(cls, dir_path) -> "NormalizingFlow":
+        import json
+        from pathlib import Path
+
+        d = Path(dir_path)
+        meta = json.loads((d / "model_config.json").read_text())
+        nf = cls(meta.pop("family"), meta.pop("input_dim"), **meta)
+        with np.load(d / "model.npz") as zf:
+            leaves = [jnp.asarray(zf[f"leaf_{i}"]) for i in range(len(zf.files))]
+        treedef = jax.tree_util.tree_structure(nf.params)
+        nf.params = jax.tree_util.tree_unflatten(treedef, leaves)
+        return nf

@@ -3,6 +3,7 @@ plus NLL estimator + trainer resume."""
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from rlvae_tpu.flows import iaf_masks
@@ -95,3 +96,54 @@ def test_trainer_resume(tmp_path):
     r2 = t2.fit(resume=True)
     assert r2["epochs_run"] == 4  # epoch counter reached 3 (0-indexed)
     assert np.isfinite(r2["best_val_loss"])
+
+
+def test_normalizing_flow_wrapper_roundtrip(tmp_path):
+    """BaseNF-equivalent wrapper: forward/inverse protocol + save/load
+    (reference: normalizing_flows/base/base_nf_model.py:16-208)."""
+    from rlvae_tpu.flows.zoo import NormalizingFlow
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(5, 8)), jnp.float32)
+    for family in ("iaf", "maf"):
+        nf = NormalizingFlow(family, 8, key=jax.random.PRNGKey(1), hidden_size=16)
+        y, ld = nf.forward(x)
+        x_back, ld_i = nf.inverse(y)
+        np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ld + ld_i), 0.0, atol=1e-4)
+        nf.save(tmp_path / family)
+        nf2 = NormalizingFlow.load(tmp_path / family)
+        y2, _ = nf2.forward(x)
+        np.testing.assert_array_equal(np.asarray(y2), np.asarray(y))
+    for family in ("planar", "radial"):
+        nf = NormalizingFlow(family, 8, key=jax.random.PRNGKey(2))
+        y, ld = nf.forward(x)
+        assert np.isfinite(np.asarray(y)).all() and np.isfinite(np.asarray(ld)).all()
+        with pytest.raises(NotImplementedError):
+            nf.inverse(y)
+
+
+def test_pixelcnn_autoregressive():
+    """PixelCNN: finite CE loss, correct logit shape, and the type-A mask
+    makes pixel (i,j) independent of itself and later pixels
+    (reference: pixelcnn_model.py:69-93, utils.py:38-48)."""
+    from rlvae_tpu.flows.pixelcnn import PixelCNN, pixelcnn_sample
+
+    model = PixelCNN(input_dim=(1, 6, 6), n_embeddings=4, n_layers=2, kernel_size=3, hidden=8)
+    x = jnp.asarray(np.random.default_rng(0).integers(0, 4, size=(2, 1, 6, 6)), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.out.shape == (2, 4, 1, 6, 6)
+    assert np.isfinite(float(out.loss))
+
+    # autoregressive property: changing pixel (3,3) must not change logits at
+    # (3,3) or any earlier raster position
+    x2 = x.at[:, 0, 3, 3].set((x[:, 0, 3, 3] + 1) % 4)
+    l1 = np.asarray(model.apply(variables, x).out)
+    l2 = np.asarray(model.apply(variables, x2).out)
+    np.testing.assert_array_equal(l1[:, :, 0, 3, 3], l2[:, :, 0, 3, 3])
+    np.testing.assert_array_equal(l1[:, :, 0, :3], l2[:, :, 0, :3])
+    np.testing.assert_array_equal(l1[:, :, 0, 3, :3], l2[:, :, 0, 3, :3])
+    # later pixels MAY depend on it (receptive field): the sample path runs
+    samples = pixelcnn_sample(model, variables, jax.random.PRNGKey(1), n=2)
+    assert samples.shape == (2, 1, 6, 6)
+    assert int(samples.max()) < 4 and int(samples.min()) >= 0
