@@ -200,6 +200,7 @@ class ExperimentRunner:
                 run_cfg.set("training.n_train_samples", int(tov["n_train_samples"]))
             sub = ExperimentRunner.__new__(ExperimentRunner)
             sub.config = run_cfg
+            sub.progress_callback = self.progress_callback
             sub.run_dir = self.run_dir / f"run_{i}"
             sub.run_dir.mkdir(parents=True, exist_ok=True)
             save_config(run_cfg, sub.run_dir / "config.yaml")
