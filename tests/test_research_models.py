@@ -263,3 +263,136 @@ def test_riem_generate_predict(riem_metric):
     pred = m.predict(v, _batch(t=4)[:, 1], 1, jax.random.PRNGKey(2))
     assert pred.shape == (2, 4, *INPUT)
     assert np.isfinite(np.asarray(pred)).all()
+
+
+# -- LVAE_IAF -------------------------------------------------------------------
+
+
+def _import_torch_lvae_iaf():
+    """The reference LVAE_IAF imports external diffusion packages it never
+    uses on the forward/loss path (lvae_iaf_model.py:19-21) — stub them."""
+    import sys
+    import types
+
+    from tests.reference_utils import import_pythae
+
+    for name, attrs in (
+        ("diffusion", ()),
+        ("diffusion.stable_diffusion", ()),
+        ("diffusion.stable_diffusion.latent_diffusion", ("MyLatentDiffusion",)),
+        ("diffusion.stable_diffusion.sampler", ()),
+        ("diffusion.stable_diffusion.sampler.ddim", ("DDIMSampler",)),
+        ("geometric_perspective_on_vaes", ()),
+        ("geometric_perspective_on_vaes.sampling", ("hmc_sampling",)),
+    ):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for a in attrs:
+                setattr(mod, a, object)
+            sys.modules[name] = mod
+    import_pythae()
+    from pythae.models.lvae_iaf.lvae_iaf_config import LVAE_IAF_Config
+    from pythae.models.lvae_iaf.lvae_iaf_model import LVAE_IAF as TorchLVAE
+
+    return TorchLVAE, LVAE_IAF_Config
+
+
+def test_lvae_iaf_forward_branches():
+    from rlvae_tpu.models.research import LVAE_IAF
+
+    m = LVAE_IAF(input_dim=INPUT, latent_dim=8, n_obs=4, warmup=5,
+                 hidden_size=16, posterior="iaf", prior="vamp",
+                 vamp_number_components=4)
+    v = m.init(jax.random.PRNGKey(0))
+    x = _batch(t=4)
+    warm = m.forward(v, x, jax.random.PRNGKey(1), epoch=0)
+    assert np.isfinite(float(warm.loss))
+    out = m.forward(v, x, jax.random.PRNGKey(2), vi_index=2, epoch=50)
+    assert np.isfinite(float(out.loss)) and out.z_seq.shape == (2, 4, 8)
+    rec = m.reconstruct(v, x, 1, jax.random.PRNGKey(3))
+    gen = m.generate(v, jax.random.PRNGKey(4), 2)
+    assert rec.shape == x.shape and gen.shape == (2, 4, *INPUT)
+    seq_mask = jnp.asarray([[1, 0, 1, 0], [1, 0, 1, 0]], jnp.float32)
+    filled = m.infer_missing(v, x, seq_mask, jnp.ones_like(x), jax.random.PRNGKey(5))
+    assert filled.shape == x.shape and np.isfinite(np.asarray(filled)).all()
+
+
+def test_lvae_iaf_torch_parity(reference_available):
+    """Loss parity vs the reference LVAE_IAF (diffusion imports stubbed) with
+    transferred weights, pinned z = mu, and a pinned visit index."""
+    if not reference_available:
+        pytest.skip("reference not mounted")
+    torch = pytest.importorskip("torch")
+    import numpy as _np
+
+    from tests.test_flows import _torch_iaf_to_params
+
+    TorchLVAE, LVAE_IAF_Config = _import_torch_lvae_iaf()
+    from rlvae_tpu.models.research import LVAE_IAF
+
+    torch.manual_seed(0)
+    cfg = LVAE_IAF_Config(
+        input_dim=INPUT, latent_dim=8, n_obs_per_ind=4, warmup=0, beta=1.0,
+        n_made_blocks=2, n_hidden_in_made=3, hidden_size=16,
+        prior="standard", posterior="gaussian", reconstruction_loss="mse",
+        linear_scheduling_steps=0,
+    )
+    ref = TorchLVAE(cfg)
+    ref.eval()
+    ref._sample_gauss = lambda mu, std: (mu, torch.zeros_like(mu))
+
+    ours = LVAE_IAF(input_dim=INPUT, latent_dim=8, n_obs=4, warmup=0,
+                    n_made_blocks=2, n_hidden_in_made=3, hidden_size=16)
+    variables = ours.init(jax.random.PRNGKey(0))
+    params = variables["params"]
+
+    def wb(lin):
+        return (jnp.array(lin.weight.detach().numpy().T),
+                jnp.array(lin.bias.detach().numpy()))
+
+    k0, b0 = wb(ref.encoder.layers[0][0])
+    ke, be = wb(ref.encoder.embedding)
+    kv, bv = wb(ref.encoder.log_var)
+    params["encoder"] = {"hidden_0": {"kernel": k0, "bias": b0},
+                         "embedding": {"kernel": ke, "bias": be},
+                         "log_var": {"kernel": kv, "bias": bv}}
+    k0, b0 = wb(ref.decoder.layers[0][0])
+    k1, b1 = wb(ref.decoder.layers[1][0])
+    params["decoder"] = {"hidden_0": {"kernel": k0, "bias": b0},
+                         "out": {"kernel": k1, "bias": b1}}
+    params["flows"] = [_torch_iaf_to_params(f) for f in ref.flows]
+
+    x = _batch(b=2, t=4, seed=4)
+    xt = torch.as_tensor(_np.array(x))
+    inputs = SimpleNamespaceDict(
+        {"data": xt, "seq_mask": torch.ones(2, 4), "pix_mask": torch.ones_like(xt)}
+    )
+    # pin the random visit index the torch side draws (lvae_iaf_model.py:210)
+    _np.random.seed(123)
+    vi = int(_np.random.randint(4))
+    _np.random.seed(123)
+    with torch.no_grad():
+        ref_out = ref(inputs, epoch=50)
+    out = ours.forward(
+        variables, x, jax.random.PRNGKey(0), vi_index=vi, epoch=50
+    )
+    # ours samples z via key; pin by re-running with z = mu through the same
+    # path: compare the deterministic pieces instead — z_seq given z=mu
+    enc = ours.encoder.apply({"params": params["encoder"]}, x[:, vi])
+    z_seq, log_det = ours.propagate(params, enc.embedding, vi)
+    np.testing.assert_allclose(
+        np.asarray(z_seq), ref_out.z_seq.numpy(), rtol=2e-2, atol=2e-2
+    )
+    # loss parity with pinned z on both sides
+    recon = ours.decoder.apply(
+        {"params": params["decoder"]}, z_seq.reshape(8, 8)
+    ).reconstruction.reshape(x.shape)
+    recon_loss = ours._recon_loss(recon, x, jnp.ones((2, 4)), jnp.ones_like(x))
+    log_q = jnp.sum(
+        -0.5 * (enc.log_covariance + 0.0 / (jnp.exp(enc.log_covariance) + 1e-7)),
+        axis=1,
+    )
+    log_prior = ours.log_p_z(params, z_seq[:, 0]) + log_det
+    loss = jnp.mean(recon_loss + (log_q - log_prior))
+    a, b = float(loss), float(ref_out.loss)
+    assert abs(a - b) / (abs(b) + 1e-3) < 2e-2, f"loss: ours={a} ref={b}"
