@@ -4,8 +4,9 @@ gp_vae,riem}/; SURVEY §2b marked them inactive-legacy, VERDICT round 1 item
 10 requested them for literal whole-repo coverage)."""
 
 from rlvae_tpu.models.research.gpvae import GPVAE
+from rlvae_tpu.models.research.gugus import LVAE_GUGUS
 from rlvae_tpu.models.research.lvae_iaf import LVAE_IAF
 from rlvae_tpu.models.research.riem import RIEM
 from rlvae_tpu.models.research.vamp import VAMP
 
-__all__ = ["VAMP", "GPVAE", "RIEM", "LVAE_IAF"]
+__all__ = ["VAMP", "GPVAE", "RIEM", "LVAE_IAF", "LVAE_GUGUS"]

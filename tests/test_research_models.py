@@ -396,3 +396,55 @@ def test_lvae_iaf_torch_parity(reference_available):
     loss = jnp.mean(recon_loss + (log_q - log_prior))
     a, b = float(loss), float(ref_out.loss)
     assert abs(a - b) / (abs(b) + 1e-3) < 2e-2, f"loss: ours={a} ref={b}"
+
+
+# -- LVAE_GUGUS -------------------------------------------------------------------
+
+
+def test_gugus_metric_field_and_riemann_prior():
+    from rlvae_tpu.models.research import LVAE_GUGUS
+
+    m = LVAE_GUGUS(input_dim=INPUT, latent_dim=6, n_obs=3, warmup=0,
+                   hidden_size=16, use_riemann_prior=True)
+    v = m.init(jax.random.PRNGKey(0))
+    data = _batch(b=4, t=3, seed=5)
+    gms, gs = m.retrieve_metric_all(v, data)
+    assert len(gms) == 3 and gs[0].shape == (6, 6)
+    # stored metric field
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(2, 6)), jnp.float32)
+    g1 = m.metric_tensor_field(v, z, 1)
+    assert g1.shape == (2, 6, 6)
+    # pushforward path (beyond stored timesteps)
+    m.g_list = m.g_list[:1]
+    g_push = m.metric_tensor_field(v, z, 2)
+    assert g_push.shape == (2, 6, 6)
+    assert np.isfinite(np.asarray(g_push)).all()
+    # pushforward invariant: volume transforms by |det J|^2 exactly
+    params = v["params"]
+    z2, g2 = m.push_metric(params, z, jnp.asarray(m.g_list[0]), 0)
+    from rlvae_tpu.flows.iaf import iaf_inverse
+    _, ld = iaf_inverse(params["flows"][0], m.masks, z)
+    det0 = np.linalg.slogdet(np.asarray(jnp.broadcast_to(jnp.asarray(m.g_list[0]), g2.shape)))[1]
+    det2 = np.linalg.slogdet(np.asarray(g2))[1]
+    np.testing.assert_allclose(det2, det0 - 2 * np.asarray(ld), rtol=1e-3, atol=1e-3)
+
+    # riemannian prior is active in the visit-0 loss
+    out = m.forward(v, data[:2], jax.random.PRNGKey(1), vi_index=0, epoch=10)
+    assert np.isfinite(float(out.loss))
+    m2 = LVAE_GUGUS(input_dim=INPUT, latent_dim=6, n_obs=3, warmup=0,
+                    hidden_size=16, use_riemann_prior=False)
+    out2 = m2.forward(
+        {"params": v["params"]}, data[:2], jax.random.PRNGKey(1), vi_index=0, epoch=10
+    )
+    assert float(out.loss) != float(out2.loss)
+
+
+def test_gugus_hmc_generation():
+    from rlvae_tpu.models.research import LVAE_GUGUS
+
+    m = LVAE_GUGUS(input_dim=INPUT, latent_dim=6, n_obs=3, warmup=0, hidden_size=16)
+    v = m.init(jax.random.PRNGKey(0))
+    m.retrieve_metric_all(v, _batch(b=4, t=3, seed=6))
+    gen = m.generate_hmc(v, jax.random.PRNGKey(1), 2)
+    assert gen.shape == (2, 3, *INPUT)
+    assert np.isfinite(np.asarray(gen)).all()
