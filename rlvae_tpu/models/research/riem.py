@@ -369,3 +369,20 @@ class RIEM:
             z_seq.reshape(n * self.n_obs, self.latent_dim),
         ).reconstruction
         return recon.reshape(n, self.n_obs, *self.input_dim)
+
+
+class LLDM(RIEM):
+    """LLDM — latent-diffusion longitudinal VAE.
+
+    Reference: src/lib/src/pythae/models/lldm/lldm_model.py:23-1029, whose
+    import is commented out upstream for the missing external diffusion
+    dependency (pythae models/__init__.py:23-24).  Structurally it is RIEM
+    without the Riemannian metric (the reference's RIEM docstring calls
+    itself "LLDM_BIS Model with Metric Integration", riem_model.py:109-111):
+    Gaussian visit posterior, per-visit-index training, and the latent
+    temporal evolution through the (pluggable) diffusion dynamics."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs["metric"] = None
+        kwargs.setdefault("use_uniform_sample", False)
+        super().__init__(*args, **kwargs)

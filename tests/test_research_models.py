@@ -448,3 +448,15 @@ def test_gugus_hmc_generation():
     gen = m.generate_hmc(v, jax.random.PRNGKey(1), 2)
     assert gen.shape == (2, 3, *INPUT)
     assert np.isfinite(np.asarray(gen)).all()
+
+
+def test_lldm_is_metric_free_riem():
+    from rlvae_tpu.models.research import LLDM
+
+    m = LLDM(input_dim=INPUT, latent_dim=8, n_obs=4, warmup=0)
+    assert m.metric is None and not m.use_uniform_sample
+    v = m.init(jax.random.PRNGKey(0))
+    out = m.forward(v, _batch(t=4), jax.random.PRNGKey(1), vi_index=1, epoch=10)
+    assert np.isfinite(float(out.loss)) and out.z_seq.shape == (2, 4, 8)
+    gen = m.generate(v, jax.random.PRNGKey(2), 2)
+    assert gen.shape == (2, 4, *INPUT)
