@@ -2,9 +2,11 @@ from rlvae_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, create_mesh, resolve_
 from rlvae_tpu.parallel.sharding import (
     batch_sharding,
     pad_to_devices,
+    param_shardings,
     replicate,
     replicated,
     shard_batch,
+    shard_params,
 )
 
 __all__ = [
@@ -17,4 +19,6 @@ __all__ = [
     "replicate",
     "shard_batch",
     "pad_to_devices",
+    "param_shardings",
+    "shard_params",
 ]

@@ -197,7 +197,10 @@ class Trainer:
         self.max_epochs = int(trainer_cfg.get("max_epochs", 30))
         self.log_every = int(trainer_cfg.get("log_every_n_steps", 10))
         n_dev = resolve_num_devices(trainer_cfg.get("devices", 1))
-        self.mesh = create_mesh(n_devices=n_dev)
+        # DP x TP hybrid: trainer.model_parallel > 1 shards the big MLP
+        # kernels over the 'model' axis (parallel/sharding.param_shardings)
+        self.model_parallel = int(trainer_cfg.get("model_parallel", 1))
+        self.mesh = create_mesh(n_devices=n_dev, model_parallel=self.model_parallel)
         self.n_devices = n_dev
 
         opt_cfg = self.cfg.get("optimizer", {})
@@ -253,8 +256,14 @@ class Trainer:
         if opt_state is None:
             opt_state = self.optimizer.init(variables["params"])
 
-        variables = replicate(self.mesh, variables)
-        opt_state = replicate(self.mesh, opt_state)
+        if self.model_parallel > 1:
+            from rlvae_tpu.parallel import shard_params
+
+            variables = shard_params(self.mesh, variables)
+            opt_state = shard_params(self.mesh, opt_state)
+        else:
+            variables = replicate(self.mesh, variables)
+            opt_state = replicate(self.mesh, opt_state)
         bsharding = batch_sharding(self.mesh)
 
         from rlvae_tpu.utils.profiling import StepTimer, trace

@@ -149,3 +149,59 @@ def test_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_dp_tp_hybrid_loss_and_grad_parity():
+    """A 4x2 (data x model) mesh with the big MLP kernels sharded over the
+    model axis must produce the same train step as single-device: the layout
+    changes, the math must not."""
+    import optax
+
+    from rlvae_tpu.models import RlVAE
+    from rlvae_tpu.parallel import (
+        batch_sharding,
+        create_mesh,
+        param_shardings,
+        shard_params,
+    )
+    from rlvae_tpu.train import make_optimizer, make_train_step
+
+    model = RlVAE(
+        input_dim=(3, 8, 8), latent_dim=16, n_flows=2, flow_hidden_size=32,
+        posterior_type="gaussian", use_riemannian=False,
+    )
+    variables = model.init(jax.random.PRNGKey(0), n_obs=4)
+    optimizer = make_optimizer(1e-3, 0.0)
+    opt_state = optimizer.init(variables["params"])
+    batch = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(8, 4, 3, 8, 8)), jnp.float32
+    )
+    key = jax.random.PRNGKey(1)
+
+    step = make_train_step(model, optimizer)
+    # real copies: the step donates its inputs
+    v_ref = jax.tree_util.tree_map(jnp.array, variables)
+    v1, _, m1 = step(v_ref, optimizer.init(variables["params"]), batch, key)
+
+    mesh = create_mesh(n_devices=8, model_parallel=2)
+    specs = {
+        str(s.spec)
+        for s in jax.tree_util.tree_leaves(param_shardings(mesh, variables["params"]))
+    }
+    assert any("model" in s for s in specs), f"nothing sharded over model: {specs}"
+    v_tp = shard_params(mesh, variables)
+    o_tp = shard_params(mesh, optimizer.init(variables["params"]))
+    b_tp = jax.device_put(batch, batch_sharding(mesh))
+    step_tp = make_train_step(model, optimizer)
+    v2, _, m2 = step_tp(v_tp, o_tp, b_tp, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=2e-3
+    )
+    # post-Adam params: near-zero grads can flip update sign (+-lr) under
+    # cross-shard reduction order at step 1, so allow 2*lr absolute slack
+    for a, b in zip(
+        jax.tree_util.tree_leaves(v1["params"]), jax.tree_util.tree_leaves(v2["params"])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2.5e-3)
