@@ -100,6 +100,15 @@ def main():
     train_ms = measure_train_step(metric)
     log(f"flagship train step (B=64, 8 flows, riemannian posterior): {train_ms:.2f} ms")
 
+    # --- quick-config epoch wall-clock (whole-epoch compiled training) -------
+    # reference: ~10 min / 20 epochs on H100 => ~30 s/epoch
+    # (docs/TRAINING_GUIDE.md:196-200)
+    epoch_s = measure_epoch(metric)
+    log(
+        f"quick-config epoch (100 seqs, B=4, epoch-jit): {epoch_s:.3f} s "
+        f"-> {30.0 / epoch_s:.0f}x the reference's H100 epoch"
+    )
+
     torch_rate = measure_torch_hmc(metric)
     hmc_vs_torch = None
     if torch_rate:
@@ -117,6 +126,8 @@ def main():
         "hmc_steps_per_sec_reference_shape": round(hmc_rate, 1),
         "hmc_seconds_per_official_prior_run": round(t_ref, 4),
         "train_step_ms_b64_flagship": round(train_ms, 2),
+        "quick_epoch_seconds": round(epoch_s, 3),
+        "quick_epoch_vs_h100": round(30.0 / epoch_s, 1),
     }
     if torch_rate:
         result["hmc_torch_same_host_steps_per_sec"] = round(torch_rate, 1)
@@ -157,6 +168,43 @@ def measure_train_step(metric, batch=64, reps=20):
         jax.block_until_ready(m)
         times.append((time.perf_counter() - t0) / reps)
     return float(np.median(times)) * 1e3
+
+
+def measure_epoch(metric, n_seqs=100, batch=4, reps=3):
+    """Seconds per quick-config training epoch (25 steps of B=4 at the
+    flagship shapes) through the whole-epoch compiled path."""
+    import jax
+    import jax.numpy as jnp
+
+    from rlvae_tpu.models import RlVAE
+    from rlvae_tpu.train.optim import make_optimizer
+    from rlvae_tpu.train.trainer import make_epoch_fn
+
+    model = RlVAE(
+        input_dim=(3, 64, 64), latent_dim=16, n_flows=8,
+        posterior_type="riemannian_metric", metric=metric,
+    )
+    v = model.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(1e-3, 0.0)
+    os_ = opt.init(v["params"])
+    epoch_fn = make_epoch_fn(model, opt)
+    rng = np.random.default_rng(0)
+    data = jax.device_put(
+        jnp.asarray(rng.uniform(size=(n_seqs, 8, 3, 64, 64)).astype(np.float32))
+    )
+    steps = n_seqs // batch
+    perm = jnp.asarray(
+        rng.permutation(n_seqs)[: steps * batch].reshape(steps, batch).astype(np.int32)
+    )
+    v, os_, m = epoch_fn(v, os_, data, perm, jax.random.PRNGKey(1))  # compile
+    jax.block_until_ready(m)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        v, os_, m = epoch_fn(v, os_, data, perm, jax.random.PRNGKey(2))
+        jax.block_until_ready(m)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
 
 
 def measure_torch_hmc(metric, n_chains=50, mcmc_steps=10, n_lf=15):
