@@ -91,11 +91,9 @@ def apply_temporal_flows(
         z_seq: [B, n_obs, D] (z_seq[:, 0] == z0)
         log_dets: [B, n_obs - 1] per-transition log|det J|
     """
-    # measured crossover on v5e: the fused kernel wins from B>=8 (1.1-1.2x on
-    # the full train step); at B=4 the 14 pallas_call fixed costs outweigh it
-    if config.n_flows > 0 and config._use_fused() and (
-        config.backend == "pallas" or z0.shape[0] >= 8
-    ):
+    # v5e measurements (median of 10 interleaved A/B rounds): fused wins at
+    # every batch size (isolated transition fwd+bwd: 81us vs 1267us XLA)
+    if config.n_flows > 0 and config._use_fused():
         # one fused Pallas program per transition (custom VJP; see
         # rlvae_tpu/ops/iaf_kernels.py) instead of D sequential MADE passes
         from rlvae_tpu.ops.iaf_kernels import get_fused_iaf

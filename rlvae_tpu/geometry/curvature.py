@@ -32,7 +32,9 @@ def induced_metric_2d(metric: CentroidMetric, basis: Array, origin: Array):
 
     def g_tilde(u):
         z = origin + basis @ u
-        g_full = gm.g(metric, z[None, :])[0]
+        # the XLA path explicitly: this sits under jacfwd, and the fused
+        # Pallas entry points define only a custom VJP (no jvp rule)
+        g_full = gm._g_xla(metric, z[None, :])[0]
         return basis.T @ g_full @ basis  # [2, 2]
 
     return g_tilde
