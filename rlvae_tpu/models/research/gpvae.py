@@ -114,12 +114,11 @@ class GPVAE:
         reference: gpvae_model.py:154-183)."""
         t, l = self.time_length, self.latent_dim
         enc = self.encoder.apply({"params": params["encoder"]}, x_flat)
-        raw = jnp.concatenate([enc.embedding, enc.log_covariance], axis=-1)
-        # embedding carries [mu, diag], log_covariance's first L the offdiag
+        # embedding carries [mu, prec-diag]; log_covariance's first L values
+        # carry the prec-superdiagonal (the 3L-per-frame parameterization)
         mu = enc.embedding[:, :l].reshape(b, t, l).transpose(0, 2, 1)  # [B,L,T]
         diag = jax.nn.softplus(enc.embedding[:, l : 2 * l]).reshape(b, t, l)
         off = jax.nn.softplus(enc.log_covariance[:, :l]).reshape(b, t, l)
-        del raw
         # upper-bidiagonal precision cholesky P + I (rows = time)
         eye = jnp.eye(t, dtype=jnp.float32)
         prec = (
