@@ -37,10 +37,13 @@ def init_iaf(
     n_blocks: int = 2,
     n_hidden: int = 3,
     context_dim: Optional[int] = None,
+    log_var_bias_init: float = -2.0,
 ) -> List[Dict[str, jax.Array]]:
     keys = jax.random.split(key, n_blocks)
     return [
-        init_made(k, input_dim, [hidden_size] * n_hidden, context_dim) for k in keys
+        init_made(k, input_dim, [hidden_size] * n_hidden, context_dim,
+                  log_var_bias_init=log_var_bias_init)
+        for k in keys
     ]
 
 

@@ -68,9 +68,12 @@ def init_made(
     input_dim: int,
     hidden_sizes: Sequence[int],
     context_dim: Optional[int] = None,
+    log_var_bias_init: float = LOG_VAR_BIAS_INIT,
 ) -> Dict[str, jax.Array]:
     """Torch-Linear-style init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both
-    kernel and bias, log_var half of the final bias at -2.0."""
+    kernel and bias, log_var half of the final bias at ``log_var_bias_init``
+    (reference default -2.0; 0.0 gives near-identity flows whose density
+    direction doesn't amplify ~exp(1.5) per block at init)."""
     sizes = [input_dim, *hidden_sizes, 2 * input_dim]
     params: Dict[str, jax.Array] = {}
     keys = jax.random.split(key, 2 * len(sizes))
@@ -83,7 +86,7 @@ def init_made(
             keys[2 * li + 1], (fan_out,), jnp.float32, -bound, bound
         )
     params[f"b{len(sizes) - 2}"] = (
-        params[f"b{len(sizes) - 2}"].at[input_dim:].set(LOG_VAR_BIAS_INIT)
+        params[f"b{len(sizes) - 2}"].at[input_dim:].set(log_var_bias_init)
     )
     if context_dim is not None:
         bound = 1.0 / np.sqrt(context_dim)

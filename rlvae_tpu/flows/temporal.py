@@ -46,6 +46,7 @@ class TemporalFlowConfig:
         n_hidden: int = 3,
         direction: str = "density",
         backend: str = "auto",
+        log_var_bias_init: float = -2.0,
     ):
         if direction not in ("density", "sampling"):
             raise ValueError("direction must be 'density' or 'sampling'")
@@ -58,6 +59,9 @@ class TemporalFlowConfig:
         self.n_hidden = n_hidden
         self.direction = direction
         self.backend = backend
+        # -2.0 = reference parity (made_model.py:79-81); 0.0 = near-identity
+        # init whose density pass doesn't amplify exp(1.5)/block at epoch 0
+        self.log_var_bias_init = float(log_var_bias_init)
         self.masks = iaf_masks(latent_dim, hidden_size, n_hidden) if n_flows > 0 else []
 
     def _use_fused(self) -> bool:
@@ -73,7 +77,8 @@ class TemporalFlowConfig:
         keys = jax.random.split(key, max(self.n_flows, 1))
         return [
             init_iaf(
-                keys[i], self.latent_dim, self.hidden_size, self.n_blocks, self.n_hidden
+                keys[i], self.latent_dim, self.hidden_size, self.n_blocks,
+                self.n_hidden, log_var_bias_init=self.log_var_bias_init,
             )
             for i in range(self.n_flows)
         ]

@@ -66,6 +66,7 @@ class RlVAE:
         loop_mode: str = "open",
         loop_penalty: float = 5.0,
         flow_direction: str = "density",
+        flow_log_var_bias_init: float = -2.0,
         encoder_config: Optional[Mapping[str, Any]] = None,
         decoder_config: Optional[Mapping[str, Any]] = None,
         metric: Optional[CentroidMetric] = None,
@@ -94,6 +95,7 @@ class RlVAE:
         self.flow_config = TemporalFlowConfig(
             latent_dim, n_flows, flow_hidden_size, flow_n_blocks, flow_n_hidden,
             direction=flow_direction,
+            log_var_bias_init=flow_log_var_bias_init,
         )
         self.metric = metric
         # applied by init() so every entry path (CLI, app, tests) starts from

@@ -229,3 +229,21 @@ def test_riemannian_nll_uses_metric_prior():
     )
     nll_g = g.estimate_nll(variables, x, jax.random.PRNGKey(1), n_samples=8)
     assert not np.allclose(np.asarray(nll), np.asarray(nll_g))
+
+
+def test_identity_flow_init_bounds_latents():
+    """flow_log_var_bias_init=0.0 (framework option beyond the reference)
+    yields near-identity flows at init: |z_t| stays O(|z_0|) instead of the
+    reference init's exp(1.5*blocks*t) amplification."""
+    kw = dict(input_dim=(3, 8, 8), latent_dim=16, n_flows=4, flow_hidden_size=32,
+              posterior_type="gaussian", use_riemannian=False)
+    ref_init = RlVAE(**kw)
+    ident = RlVAE(**kw, flow_log_var_bias_init=0.0)
+    x = _batch(t=5)
+    v_r = ref_init.init(jax.random.PRNGKey(0), n_obs=5)
+    v_i = ident.init(jax.random.PRNGKey(0), n_obs=5)
+    z_r = np.abs(np.asarray(ref_init.forward(v_r, x, jax.random.PRNGKey(1)).z))
+    z_i = np.abs(np.asarray(ident.forward(v_i, x, jax.random.PRNGKey(1)).z))
+    # reference init amplifies ~e^{1.5*2}=20x per step; identity init doesn't
+    assert z_r[:, -1].max() > 50 * z_r[:, 0].max()
+    assert z_i[:, -1].max() < 10 * z_i[:, 0].max()
