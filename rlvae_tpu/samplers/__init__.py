@@ -5,6 +5,13 @@ from rlvae_tpu.samplers.hmc import (
     sample_prior_hmc,
     tempering,
 )
+from rlvae_tpu.samplers.generation import (
+    SAMPLER_REGISTRY,
+    BaseGenerationSampler,
+    NormalSampler,
+    RHVAEGenerationSampler,
+    VampSampler,
+)
 from rlvae_tpu.samplers.riemannian import (
     POSTERIOR_METHODS,
     PRIOR_METHODS,
@@ -26,4 +33,9 @@ __all__ = [
     "sample_posterior_hmc",
     "refine_for_training",
     "tempering",
+    "BaseGenerationSampler",
+    "NormalSampler",
+    "VampSampler",
+    "RHVAEGenerationSampler",
+    "SAMPLER_REGISTRY",
 ]

@@ -1,4 +1,12 @@
+from rlvae_tpu.train.callbacks import (
+    CallbackHandler,
+    MetricConsoleLoggerCallback,
+    ProgressBarCallback,
+    TrainingCallback,
+    WandbCallback,
+)
 from rlvae_tpu.train.checkpoints import CheckpointManager
+from rlvae_tpu.train.pipelines import GenerationPipeline, TrainingPipeline
 from rlvae_tpu.train.optim import (
     EarlyStopping,
     PlateauScheduler,
@@ -6,11 +14,19 @@ from rlvae_tpu.train.optim import (
     make_optimizer,
     set_lr,
 )
-from rlvae_tpu.train.trainer import Trainer, make_eval_step, make_train_step
+from rlvae_tpu.train.trainer import (
+    Trainer,
+    make_epoch_fn,
+    make_epoch_fn_sharded,
+    make_eval_step,
+    make_train_step,
+)
 
 __all__ = [
     "Trainer",
     "make_train_step",
+    "make_epoch_fn",
+    "make_epoch_fn_sharded",
     "make_eval_step",
     "make_optimizer",
     "PlateauScheduler",
@@ -18,4 +34,11 @@ __all__ = [
     "get_lr",
     "set_lr",
     "CheckpointManager",
+    "TrainingCallback",
+    "CallbackHandler",
+    "MetricConsoleLoggerCallback",
+    "ProgressBarCallback",
+    "WandbCallback",
+    "TrainingPipeline",
+    "GenerationPipeline",
 ]

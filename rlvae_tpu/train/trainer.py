@@ -157,6 +157,90 @@ def make_epoch_fn(model: RlVAE, optimizer) -> Callable:
     return jax.jit(epoch_fn, donate_argnums=(0, 1))
 
 
+def make_epoch_fn_sharded(model: RlVAE, optimizer, mesh) -> Callable:
+    """Whole-epoch compiled training over a multi-device data mesh.
+
+    Extends :func:`make_epoch_fn`'s one-dispatch-per-epoch design to DP
+    meshes.  The naive port (``jnp.take`` across a batch-sharded dataset)
+    would make XLA all-gather the dataset every step, so instead the epoch
+    runs under ``shard_map``: each device owns a contiguous dataset shard in
+    its HBM and scans over a *local* permutation of it, which is exactly the
+    shard-local shuffle a distributed loader does (reference has no analogue
+    — single device pinned, SURVEY.md §2c).  Gradients/metrics are
+    ``pmean``-reduced over ICI inside the scan body; params and optimizer
+    state stay replicated, so every device applies the identical update.
+
+    Per-device RNG: the epoch key is folded with ``axis_index('data')`` so
+    posterior-sampling noise differs across shards (same stream semantics as
+    sharding a globally-generated noise batch).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from rlvae_tpu.parallel.mesh import DATA_AXIS
+
+    def epoch_fn(variables, opt_state, data, perm, key):
+        # data: [N, ...] sharded over DATA_AXIS; perm: [steps, n_dev, local_bs]
+        # with LOCAL indices, sharded over its middle axis; everything else
+        # replicated.
+        def local_epoch(variables, opt_state, local_data, local_perm, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+
+            def body(carry, idx):
+                variables, opt_state, key = carry
+                key, k_step = jax.random.split(key)
+                batch = jnp.take(local_data, idx[0], axis=0)
+
+                def loss_fn(params):
+                    vs = {**variables, "params": params}
+                    out = model.forward(vs, batch, k_step, train=True)
+                    return out.loss, out
+
+                (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    variables["params"]
+                )
+                grads = jax.lax.pmean(grads, DATA_AXIS)
+                metrics = {
+                    "loss": out.loss,
+                    "recon_loss": out.recon_loss,
+                    "kld_loss": out.kld_loss,
+                    "flow_loss": out.flow_loss,
+                    "loop_penalty": out.loop_penalty,
+                }
+                metrics = jax.lax.pmean(metrics, DATA_AXIS)
+                metrics["grad_norm"] = optax.global_norm(grads)
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, variables["params"]
+                )
+                new_params = optax.apply_updates(variables["params"], updates)
+                variables = {**variables, "params": new_params}
+                if "state_updates" in out:
+                    # BN running stats are per-shard; average them so every
+                    # replica carries identical state
+                    upd = jax.lax.pmean(out["state_updates"], DATA_AXIS)
+                    stats = dict(variables["stats"])
+                    for k in ("encoder", "decoder"):
+                        if upd.get(k):
+                            stats[k] = upd[k]
+                    variables = {**variables, "stats": stats}
+                return (variables, opt_state, key), metrics
+
+            (variables, opt_state, _), metrics = jax.lax.scan(
+                body, (variables, opt_state, key), local_perm
+            )
+            return variables, opt_state, metrics
+
+        return shard_map(
+            local_epoch,
+            mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS), P(None, DATA_AXIS, None), P()),
+            out_specs=(P(), P(), P()),
+            check_rep=False,
+        )(variables, opt_state, data, perm, key)
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+
 def make_eval_step(model: RlVAE) -> Callable:
     def eval_step(variables, batch, key):
         out = model.forward(variables, batch, key, train=False, compute_metrics=True)
@@ -184,7 +268,10 @@ class Trainer:
         logger: Optional[MetricsLogger] = None,
         viz_hook: Optional[Callable] = None,
         seed: int = 42,
+        callbacks: Optional[list] = None,
     ):
+        from rlvae_tpu.train.callbacks import CallbackHandler
+
         self.model = model
         self.data = data_module
         self.cfg = dict(training_config)
@@ -192,6 +279,7 @@ class Trainer:
         self.logger = logger or MetricsLogger(self.run_dir)
         self.viz_hook = viz_hook
         self.seed = seed
+        self.callbacks = CallbackHandler(callbacks)
 
         trainer_cfg = self.cfg.get("trainer", {})
         self.max_epochs = int(trainer_cfg.get("max_epochs", 30))
@@ -217,18 +305,27 @@ class Trainer:
             model, self.optimizer, nan_checks=bool(self.cfg.get("debug_nan_checks", False))
         )
         self._eval_step = make_eval_step(model)
-        # whole-epoch compiled path: on by default for single-device runs
-        # (multi-device keeps the per-step loop — see make_epoch_fn docstring);
-        # nan-check debugging needs the per-step loop for checkify reports
+        # whole-epoch compiled path: on by default (single-device scans the
+        # HBM-staged dataset; multi-device runs shard-local shuffles under
+        # shard_map — see make_epoch_fn_sharded).  TP meshes and nan-check
+        # debugging keep the per-step loop (checkify needs per-step reports).
         self.epoch_jit = (
             bool(trainer_cfg.get("epoch_jit", True))
-            and n_dev == 1
+            and self.model_parallel == 1
             and not self.cfg.get("debug_nan_checks", False)
         )
-        self._epoch_fn = make_epoch_fn(model, self.optimizer) if self.epoch_jit else None
+        if n_dev > 1 and int(getattr(self.data, "batch_size", 0)) % n_dev != 0:
+            self.epoch_jit = False  # uneven shards; per-step loop drops remainders
+        if not self.epoch_jit:
+            self._epoch_fn = None
+        elif n_dev == 1:
+            self._epoch_fn = make_epoch_fn(model, self.optimizer)
+        else:
+            self._epoch_fn = make_epoch_fn_sharded(model, self.optimizer, self.mesh)
         self._device_data = None
         self.profile = bool(trainer_cfg.get("profile", False))
         self.history: list[Dict[str, float]] = []
+        self.callbacks.on_init_end(self.cfg, trainer=self)
 
     # -- loop ----------------------------------------------------------------
 
@@ -274,8 +371,10 @@ class Trainer:
         t_start = time.time()
         timer = StepTimer()
         epoch = start_epoch - 1
+        self.callbacks.on_train_begin(self.cfg, trainer=self)
         for epoch in range(start_epoch, self.max_epochs):
             t_epoch = time.time()
+            self.callbacks.on_epoch_begin(self.cfg, epoch=epoch, trainer=self)
             train_metrics: list = []
             profiling_this_epoch = self.profile and epoch == 0
             with trace(self.run_dir / "profile", enabled=profiling_this_epoch):
@@ -293,6 +392,8 @@ class Trainer:
                             }
                             host["lr"] = get_lr(opt_state)
                             self.logger.log(host, step=step)
+                            self.callbacks.on_train_step_end(self.cfg, step=step, logs=host)
+                            self.callbacks.on_log(self.cfg, host, step=step)
                     train_metrics.append(
                         {k: float(v[-1]) for k, v in fetched.items()}
                     )
@@ -317,6 +418,8 @@ class Trainer:
                             host["lr"] = get_lr(opt_state)
                             host.update(timer.metrics())
                             self.logger.log(host, step=step)
+                            self.callbacks.on_train_step_end(self.cfg, step=step, logs=host)
+                            self.callbacks.on_log(self.cfg, host, step=step)
 
             val_metrics = self.evaluate("val", key=jax.random.fold_in(key, epoch), variables=variables)
             val_loss = val_metrics.get("loss", float("nan"))
@@ -336,12 +439,17 @@ class Trainer:
                 epoch_summary.update({f"train/{k}": float(v) for k, v in last.items()})
             self.logger.log(epoch_summary, step=step)
             self.history.append(epoch_summary)
+            self.callbacks.on_evaluate(self.cfg, epoch=epoch, metrics=val_metrics)
+            self.callbacks.on_epoch_end(
+                self.cfg, epoch=epoch, logs=epoch_summary, trainer=self
+            )
 
             if val_loss < best_val:
                 best_val = val_loss
                 self.checkpoints.save(
                     "best", {"variables": variables, "step": step, "val_loss": val_loss}
                 )
+                self.callbacks.on_save(self.cfg, slot="best", step=step)
 
             if self.viz_hook is not None:
                 self.viz_hook(epoch=epoch, model=self.model, variables=variables, trainer=self)
@@ -378,18 +486,49 @@ class Trainer:
         self.logger.summary(
             {k: v for k, v in result.items() if k not in ("variables", "history")}
         )
+        self.callbacks.on_save(self.cfg, slot="last", step=step)
+        self.callbacks.on_train_end(self.cfg, result={
+            k: v for k, v in result.items() if k != "variables"
+        })
         return result
 
     def _run_epoch_jit(self, variables, opt_state, epoch: int, key):
         """One compiled-epoch dispatch: stage data once, scan over batches."""
-        if self._device_data is None:
-            self._device_data = jax.device_put(jnp.asarray(self.data.train.data))
         bs = self.data.batch_size
         n = self.data.steps_per_epoch()
-        perm = np.random.default_rng(self.seed + epoch).permutation(
-            len(self.data.train)
-        )[: n * bs]
-        perm = jnp.asarray(perm.reshape(n, bs).astype(np.int32))
+        rng = np.random.default_rng(self.seed + epoch)
+        if self.n_devices == 1:
+            if self._device_data is None:
+                self._device_data = jax.device_put(jnp.asarray(self.data.train.data))
+            perm = rng.permutation(len(self.data.train))[: n * bs]
+            perm = jnp.asarray(perm.reshape(n, bs).astype(np.int32))
+        else:
+            # shard-local shuffle: each device owns a contiguous dataset
+            # shard and permutes only local indices (make_epoch_fn_sharded)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from rlvae_tpu.parallel.mesh import DATA_AXIS
+
+            local_bs = bs // self.n_devices
+            n_local = len(self.data.train) // self.n_devices
+            n = min(n, n_local // local_bs)
+            if self._device_data is None:
+                usable = n_local * self.n_devices
+                self._device_data = jax.device_put(
+                    jnp.asarray(self.data.train.data[:usable]),
+                    NamedSharding(self.mesh, P(DATA_AXIS)),
+                )
+            perm = np.stack(
+                [
+                    rng.permutation(n_local)[: n * local_bs].reshape(n, local_bs)
+                    for _ in range(self.n_devices)
+                ],
+                axis=1,
+            )  # [steps, n_dev, local_bs], local indices
+            perm = jax.device_put(
+                jnp.asarray(perm.astype(np.int32)),
+                NamedSharding(self.mesh, P(None, DATA_AXIS, None)),
+            )
         variables, opt_state, stacked = self._epoch_fn(
             variables, opt_state, self._device_data, perm, key
         )

@@ -145,6 +145,75 @@ def test_data_parallel_step_8_devices():
     assert first_leaf.sharding.is_fully_replicated
 
 
+def test_epoch_jit_sharded_8_devices(tmp_path):
+    """Whole-epoch compiled training over the faked 8-device mesh: the epoch
+    must run as one dispatch with shard-local shuffles, produce finite
+    decreasing loss, and keep params exactly replicated across devices."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rlvae_tpu.train import make_epoch_fn_sharded
+
+    assert jax.device_count() == 8
+    mesh = create_mesh()
+    # flow-free vanilla config: its loss decreases monotonically on a fixed
+    # batch, so progress is a machinery check, not a dynamics bet (the flow
+    # models' total loss genuinely rises early — flow expansion, ROADMAP)
+    model = RlVAE(
+        input_dim=(3, 8, 8), latent_dim=8, n_flows=0,
+        posterior_type="gaussian", sampling_method="standard", use_riemannian=False,
+    )
+    variables = replicate(mesh, model.init(jax.random.PRNGKey(0), n_obs=4))
+    optimizer = make_optimizer(1e-3)
+    opt_state = replicate(mesh, optimizer.init(variables["params"]))
+    epoch_fn = make_epoch_fn_sharded(model, optimizer, mesh)
+
+    rng = np.random.default_rng(0)
+    n_dev, n_local, local_bs = 8, 8, 2
+    data = jax.device_put(
+        jnp.asarray(rng.uniform(size=(n_dev * n_local, 4, 3, 8, 8)), jnp.float32),
+        NamedSharding(mesh, P("data")),
+    )
+    # fixed indices every step: repeated steps on the same global batch must
+    # reduce its loss (optimization machinery, not SGD variance)
+    steps = 10
+    perm = np.tile(
+        np.arange(local_bs, dtype=np.int32)[None, None, :], (steps, n_dev, 1)
+    )
+    perm = jax.device_put(jnp.asarray(perm), NamedSharding(mesh, P(None, "data", None)))
+    losses = []
+    for epoch in range(2):
+        variables, opt_state, metrics = epoch_fn(
+            variables, opt_state, data, perm, jax.random.PRNGKey(epoch)
+        )
+        fetched = jax.device_get(metrics)
+        assert fetched["loss"].shape == (steps,)
+        assert np.all(np.isfinite(fetched["loss"]))
+        losses.extend(fetched["loss"].tolist())
+    assert losses[-1] < losses[0] - 1.0, f"no progress: {losses[0]} -> {losses[-1]}"
+    # params stay replicated (identical across all 8 devices)
+    leaf = jax.tree_util.tree_leaves(variables["params"])[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_trainer_epoch_jit_multidevice(tmp_path):
+    """Trainer.fit with devices=8 takes the sharded epoch-jit path end-to-end."""
+    model = _tiny_model()
+    dm = CyclicDataModule(DATA_CFG)
+    cfg = {
+        **TRAIN_CFG,
+        "trainer": {**TRAIN_CFG["trainer"], "devices": 8},
+        "data": {"batch_size": 8},
+    }
+    dm.setup(cfg)
+    trainer = Trainer(model, dm, cfg, run_dir=tmp_path)
+    assert trainer.epoch_jit and trainer.n_devices == 8
+    result = trainer.fit()
+    assert result["epochs_run"] == 2
+    assert np.isfinite(result["best_val_loss"])
+
+
 def test_dryrun_multichip():
     import __graft_entry__ as g
 
