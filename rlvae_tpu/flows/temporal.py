@@ -99,10 +99,30 @@ def apply_temporal_flows(
     # v5e measurements (median of 10 interleaved A/B rounds): fused wins at
     # every batch size (isolated transition fwd+bwd: 81us vs 1267us XLA)
     if config.n_flows > 0 and config._use_fused():
+        from rlvae_tpu.ops.iaf_kernels import (
+            CHAIN_MAX_BATCH,
+            CHAIN_MIN_BATCH,
+            get_fused_iaf,
+            get_fused_iaf_chain,
+        )
+
+        nt = n_obs - 1
+        if nt >= 1 and CHAIN_MIN_BATCH <= z0.shape[0] <= CHAIN_MAX_BATCH:
+            # mega-kernel: ALL transitions in one Pallas program (2 launches
+            # per step instead of 2 per transition); repeated last-flow
+            # entries get their cotangents summed by the stacking AD
+            chain = get_fused_iaf_chain(
+                config.latent_dim, config.hidden_size, config.n_blocks,
+                config.n_hidden, nt,
+            )
+            params_chain = [flows[min(t, len(flows) - 1)] for t in range(nt)]
+            z_rest, lds = chain(params_chain, z0)  # [NT, B, D], [NT, B]
+            z_seq = jnp.concatenate(
+                [z0[:, None, :], jnp.moveaxis(z_rest, 0, 1)], axis=1
+            )
+            return z_seq, jnp.moveaxis(lds, 0, 1)
         # one fused Pallas program per transition (custom VJP; see
         # rlvae_tpu/ops/iaf_kernels.py) instead of D sequential MADE passes
-        from rlvae_tpu.ops.iaf_kernels import get_fused_iaf
-
         fused = get_fused_iaf(
             config.latent_dim, config.hidden_size, config.n_blocks, config.n_hidden
         )

@@ -231,6 +231,175 @@ def _iaf_bwd_kernel(
 
 
 # ---------------------------------------------------------------------------
+# Whole-chain mega-kernels: all T-1 temporal transitions in ONE program
+# ---------------------------------------------------------------------------
+#
+# The temporal chain launches one fused kernel per transition (7 fwd + 7 bwd
+# at the flagship config).  These kernels run the ENTIRE chain per launch:
+# grid=(NT,), one grid step per transition, with that transition's weights
+# pipelined HBM->VMEM by the BlockSpec index maps and the evolving latent
+# carried across grid steps in VMEM scratch (TPU grids execute sequentially).
+# Single batch tile (B_pad <= 512); larger batches fall back to the
+# per-transition kernels.
+
+
+def _transition_fwd_body(x, blocks, col, rev, d: int, tb: int):
+    """One full IAF transition on arrays: returns (ys per block, y_final, ld)."""
+    ld = jnp.zeros((tb, 1), jnp.float32)
+    ys = []
+    for w0, b0, whs, bhs, wo, bo in blocks:
+        def step(i, carry):
+            y, ld = carry
+            mu, s_pre, _ = _made_pass(y, w0, b0, whs, bhs, wo, bo, d)
+            s = jnp.clip(s_pre, -LOG_VAR_CLAMP, LOG_VAR_CLAMP)
+            y_cand = (x - mu) * jnp.exp(-s)
+            sel = col == i
+            y = jnp.where(sel, y_cand, y)
+            ld = ld - jnp.sum(jnp.where(sel, s, 0.0), axis=1, keepdims=True)
+            return y, ld
+
+        y, ld = jax.lax.fori_loop(0, d, step, (jnp.zeros((tb, d), jnp.float32), ld))
+        ys.append(y)
+        x = _dot(y, rev)
+    return ys, x, ld
+
+
+def _transition_bwd_body(x_in, ys, dy, dld, blocks, col, rev, d: int, tb: int):
+    """Exact VJP of one transition on arrays: returns (dx, per-block grads)."""
+    n_blocks = len(blocks)
+    dy = _dot(dy, rev)  # adjoint of the final flip
+    d_blocks = [None] * n_blocks
+    for b in range(n_blocks - 1, -1, -1):
+        w0, b0, whs, bhs, wo, bo = blocks[b]
+        y_out = ys[b]
+        x_b = x_in if b == 0 else _dot(ys[b - 1], rev)
+
+        def rstep(j, carry):
+            i = d - 1 - j
+            dy, dx, dw0, db0, dwh, dbh, dwo, dbo = carry
+            dwh, dbh = list(dwh), list(dbh)
+            sel = col == i
+            y_in = jnp.where(col < i, y_out, 0.0)
+            mu, s_pre, acts = _made_pass(y_in, w0, b0, whs, bhs, wo, bo, d)
+            s = jnp.clip(s_pre, -LOG_VAR_CLAMP, LOG_VAR_CLAMP)
+            e = jnp.exp(-s)
+            u = (x_b - mu) * e
+
+            du = jnp.where(sel, dy, 0.0)
+            dmu = -du * e
+            dx = dx + du * e
+            ds = -du * u - jnp.where(sel, dld, 0.0)
+            ds_pre = jnp.where(jnp.abs(s_pre) < LOG_VAR_CLAMP, ds, 0.0)
+
+            dout = jnp.concatenate([dmu, ds_pre], axis=1)
+            a_prev = acts[-1]
+            da = _dot_nt(dout, wo)
+            dwo = dwo + _dot_tn(a_prev, dout)
+            dbo = dbo + jnp.sum(dout, axis=0, keepdims=True)
+            for li in range(len(whs) - 1, -1, -1):
+                g = jnp.where(acts[li + 1] > 0.0, da, 0.0)
+                dwh[li] = dwh[li] + _dot_tn(acts[li], g)
+                dbh[li] = dbh[li] + jnp.sum(g, axis=0, keepdims=True)
+                da = _dot_nt(g, whs[li])
+            dw0 = dw0 + _dot_tn(y_in, da)
+            db0 = db0 + jnp.sum(da, axis=0, keepdims=True)
+            dy_in = _dot_nt(da, w0)
+            dy = dy + jnp.where(col < i, dy_in, 0.0)
+            return dy, dx, dw0, db0, tuple(dwh), tuple(dbh), dwo, dbo
+
+        zeros = (
+            jnp.zeros((tb, d), jnp.float32),
+            jnp.zeros_like(w0),
+            jnp.zeros_like(b0),
+            tuple(jnp.zeros_like(wh) for wh in whs),
+            tuple(jnp.zeros_like(bh) for bh in bhs),
+            jnp.zeros_like(wo),
+            jnp.zeros_like(bo),
+        )
+        dy, dx, dw0, db0, dwh, dbh, dwo, dbo = jax.lax.fori_loop(
+            0, d, rstep, (dy, *zeros)
+        )
+        d_blocks[b] = (dw0, db0, dwh, dbh, dwo, dbo)
+        dy = _dot(dx, rev) if b > 0 else dx
+    return dy, d_blocks
+
+
+def _load_blocks(w0_ref, b0_ref, wh_ref, bh_ref, wo_ref, bo_ref, nb: int, nh: int):
+    """Load one transition's (leading-1-indexed) weight blocks as arrays."""
+    return [
+        (
+            w0_ref[0, b],
+            b0_ref[0, b],
+            [wh_ref[0, b, li] for li in range(nh - 1)],
+            [bh_ref[0, b, li] for li in range(nh - 1)],
+            wo_ref[0, b],
+            bo_ref[0, b],
+        )
+        for b in range(nb)
+    ]
+
+
+def _iaf_chain_fwd_kernel(
+    x_ref, w0_ref, b0_ref, wh_ref, bh_ref, wo_ref, bo_ref,
+    z_ref, ld_ref, ys_ref,
+    zc_ref,  # scratch: the latent carried across transitions
+    *, d: int, n_blocks: int, n_hidden: int, tb: int,
+):
+    rev = _rev_matrix(d)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, d), 1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _seed():
+        zc_ref[...] = x_ref[...]
+
+    blocks = _load_blocks(w0_ref, b0_ref, wh_ref, bh_ref, wo_ref, bo_ref, n_blocks, n_hidden)
+    ys, y_final, ld = _transition_fwd_body(zc_ref[...], blocks, col, rev, d, tb)
+    for b in range(n_blocks):
+        ys_ref[0, b] = ys[b]
+    z_ref[0] = y_final
+    ld_ref[0] = ld
+    zc_ref[...] = y_final
+
+
+def _iaf_chain_bwd_kernel(
+    x_ref, zs_ref, ys_ref, dy_ref, dld_ref,
+    w0_ref, b0_ref, wh_ref, bh_ref, wo_ref, bo_ref,
+    dx_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwo_ref, dbo_ref,
+    *, d: int, n_blocks: int, n_hidden: int, tb: int, nt: int,
+):
+    """Reverse sweep over transitions (index maps feed transition nt-1-t at
+    grid step t).  ``dx_ref`` doubles as the dz carry: its block is identical
+    across grid steps, so it stays resident in VMEM."""
+    t = pl.program_id(0)
+    rev = _rev_matrix(d)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, d), 1)
+
+    # cotangent of this transition's output: its own dy plus what later
+    # transitions propagated back (none at the first grid step)
+    carry = jnp.where(t == 0, 0.0, dx_ref[...])
+    dy = dy_ref[0] + carry
+    dld = dld_ref[0]
+    # block-0 input: z0 for the first transition, the previous transition's
+    # output otherwise (zs_ref's index map already selects transition rt-1)
+    x_in = jnp.where(t == nt - 1, x_ref[...], zs_ref[0])
+
+    blocks = _load_blocks(w0_ref, b0_ref, wh_ref, bh_ref, wo_ref, bo_ref, n_blocks, n_hidden)
+    ys = [ys_ref[0, b] for b in range(n_blocks)]
+    dx, d_blocks = _transition_bwd_body(x_in, ys, dy, dld, blocks, col, rev, d, tb)
+
+    dx_ref[...] = dx
+    for b in range(n_blocks):
+        dw0, db0, dwh, dbh, dwo, dbo = d_blocks[b]
+        dw0_ref[0, b] = dw0
+        db0_ref[0, b] = db0
+        for li in range(n_hidden - 1):
+            dwh_ref[0, b, li] = dwh[li]
+            dbh_ref[0, b, li] = dbh[li]
+        dwo_ref[0, b] = dwo
+        dbo_ref[0, b] = dbo
+
+
+# ---------------------------------------------------------------------------
 # Host wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
@@ -378,3 +547,161 @@ def get_fused_iaf(
 
     fused.defvjp(fused_fwd, fused_bwd)
     return fused
+
+
+CHAIN_MAX_BATCH = 512  # single batch tile; larger batches use per-transition
+# v5e interleaved A/B of the flagship train step (chain vs per-transition),
+# across three processes (the axon tunnel's per-process variance changes
+# absolute step time 2x): B=4 -> 0.47x/0.93x, B=8-32 -> 0.92-1.08x,
+# B=64 -> 1.56x/0.96x, B=128 -> 1.01x.  The chain wins when per-launch
+# overhead is high and never loses at B>=48; below that it can regress, so
+# it is gated to the [48, 512] window.
+CHAIN_MIN_BATCH = 48
+
+
+@functools.lru_cache(maxsize=None)
+def get_fused_iaf_chain(
+    input_dim: int, hidden_size: int, n_blocks: int, n_hidden: int,
+    n_transitions: int, interpret: bool | None = None,
+):
+    """Build (and cache) the whole-chain fused IAF: ONE Pallas program for
+    all ``n_transitions`` temporal transitions (2 launches per train step
+    instead of 2 per transition).
+
+    Returns f(params_chain, z0) -> (z_rest [NT, B, D], logdets [NT, B]),
+    differentiable w.r.t. both, where ``params_chain`` is a list of NT
+    per-transition IAF param lists (repeated entries — the temporal chain's
+    last-flow reuse — get their gradients summed by the stacking AD outside).
+    Matches chaining :func:`rlvae_tpu.flows.iaf.iaf_forward` per transition.
+    """
+    d, h, nb, nh, nt = input_dim, hidden_size, n_blocks, n_hidden, n_transitions
+    masks = tuple(np.asarray(m, np.float32) for m in make_masks(d, [h] * nh))
+    interp = (not _on_tpu()) if interpret is None else interpret
+
+    def stack_chain(params_chain):
+        per_t = [_stack_params(p, masks, nh) for p in params_chain]
+        return tuple(jnp.stack([pt[i] for pt in per_t]) for i in range(6))
+
+    def fwd_pallas(params_chain, x):
+        b = x.shape[0]
+        tb = _ceil_to(b, 8)
+        assert tb <= CHAIN_MAX_BATCH, f"chain kernel capped at {CHAIN_MAX_BATCH}, got {b}"
+        w0, b0, wh, bh, wo, bo = stack_chain(params_chain)
+        x_p = jnp.pad(x.astype(jnp.float32), ((0, tb - b), (0, 0)))
+        wspec = lambda *shape: pl.BlockSpec(
+            (1, *shape), lambda t: (t,) + (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        z, ld, ys = pl.pallas_call(
+            functools.partial(
+                _iaf_chain_fwd_kernel, d=d, n_blocks=nb, n_hidden=nh, tb=tb
+            ),
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((tb, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                wspec(nb, d, h), wspec(nb, 1, h),
+                wspec(nb, nh - 1, h, h), wspec(nb, nh - 1, 1, h),
+                wspec(nb, h, 2 * d), wspec(nb, 1, 2 * d),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tb, d), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tb, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, nb, tb, d), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nt, tb, d), jnp.float32),
+                jax.ShapeDtypeStruct((nt, tb, 1), jnp.float32),
+                jax.ShapeDtypeStruct((nt, nb, tb, d), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((tb, d), jnp.float32)],
+            interpret=interp,
+        )(x_p, w0, b0, wh, bh, wo, bo)
+        return z[:, :b], ld[:, :b, 0], (z, ys)
+
+    def bwd_pallas(params_chain, x, residuals, dz, dld):
+        z_all, ys = residuals  # padded [NT, TB, D] / [NT, NB, TB, D]
+        b = x.shape[0]
+        tb = _ceil_to(b, 8)
+        w0, b0, wh, bh, wo, bo = stack_chain(params_chain)
+        x_p = jnp.pad(x.astype(jnp.float32), ((0, tb - b), (0, 0)))
+        dz_p = jnp.pad(dz.astype(jnp.float32), ((0, 0), (0, tb - b), (0, 0)))
+        dld_p = jnp.pad(dld.astype(jnp.float32), ((0, 0), (0, tb - b)))[..., None]
+        r = lambda t: nt - 1 - t  # reverse transition order
+        wspec = lambda *shape: pl.BlockSpec(
+            (1, *shape), lambda t: (r(t),) + (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        outs = pl.pallas_call(
+            functools.partial(
+                _iaf_chain_bwd_kernel, d=d, n_blocks=nb, n_hidden=nh, tb=tb, nt=nt
+            ),
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((tb, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                # previous transition's output feeds transition rt as input;
+                # clamped at rt==0 (unused there — the kernel selects x_ref)
+                pl.BlockSpec(
+                    (1, tb, d),
+                    lambda t: (jnp.maximum(r(t) - 1, 0), 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, nb, tb, d), lambda t: (r(t), 0, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((1, tb, d), lambda t: (r(t), 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tb, 1), lambda t: (r(t), 0, 0), memory_space=pltpu.VMEM),
+                wspec(nb, d, h), wspec(nb, 1, h),
+                wspec(nb, nh - 1, h, h), wspec(nb, nh - 1, 1, h),
+                wspec(nb, h, 2 * d), wspec(nb, 1, 2 * d),
+            ],
+            out_specs=[
+                pl.BlockSpec((tb, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                wspec(nb, d, h), wspec(nb, 1, h),
+                wspec(nb, nh - 1, h, h), wspec(nb, nh - 1, 1, h),
+                wspec(nb, h, 2 * d), wspec(nb, 1, 2 * d),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((tb, d), jnp.float32),
+                jax.ShapeDtypeStruct((nt, nb, d, h), jnp.float32),
+                jax.ShapeDtypeStruct((nt, nb, 1, h), jnp.float32),
+                jax.ShapeDtypeStruct((nt, nb, nh - 1, h, h), jnp.float32),
+                jax.ShapeDtypeStruct((nt, nb, nh - 1, 1, h), jnp.float32),
+                jax.ShapeDtypeStruct((nt, nb, h, 2 * d), jnp.float32),
+                jax.ShapeDtypeStruct((nt, nb, 1, 2 * d), jnp.float32),
+            ],
+            interpret=interp,
+        )(x_p, z_all, ys, dz_p, dld_p, w0, b0, wh, bh, wo, bo)
+        dx, dw0, db0, dwh, dbh, dwo, dbo = outs
+        d_chain = []
+        for ti in range(nt):
+            d_params = []
+            for bi in range(nb):
+                blk = {
+                    "w0": masks[0] * dw0[ti, bi],
+                    "b0": db0[ti, bi, 0],
+                    f"w{nh}": masks[nh] * dwo[ti, bi],
+                    f"b{nh}": dbo[ti, bi, 0],
+                }
+                for li in range(1, nh):
+                    blk[f"w{li}"] = masks[li] * dwh[ti, bi, li - 1]
+                    blk[f"b{li}"] = dbh[ti, bi, li - 1, 0]
+                d_params.append(blk)
+            d_chain.append(d_params)
+        return d_chain, dx[:b]
+
+    @jax.custom_vjp
+    def fused_chain(params_chain, x):
+        z, ld, _ = fwd_pallas(params_chain, x)
+        return z, ld
+
+    def chain_fwd(params_chain, x):
+        z, ld, res = fwd_pallas(params_chain, x)
+        return (z, ld), (params_chain, x, res)
+
+    def chain_bwd(res, cotangents):
+        params_chain, x, residuals = res
+        dz, dld = cotangents
+        return bwd_pallas(params_chain, x, residuals, dz, dld)
+
+    fused_chain.defvjp(chain_fwd, chain_bwd)
+    return fused_chain

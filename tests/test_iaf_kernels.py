@@ -94,3 +94,103 @@ def test_temporal_chain_fused_matches_xla(setup):
     np.testing.assert_allclose(
         np.asarray(jnp.stack(lds, 1)), np.asarray(ld_x), rtol=1e-5, atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Whole-chain mega-kernel (get_fused_iaf_chain): one program for all T-1
+# transitions, vs the XLA per-transition reference
+# ---------------------------------------------------------------------------
+
+
+def _chain_ref(flows, masks, x, nt):
+    """XLA reference: chain iaf_forward with last-flow reuse."""
+    cur, zs, lds = x, [], []
+    for t in range(nt):
+        cur, ld = iaf_forward(flows[min(t, len(flows) - 1)], masks, cur)
+        zs.append(cur)
+        lds.append(ld)
+    return jnp.stack(zs, 0), jnp.stack(lds, 0)  # [NT, B, D], [NT, B]
+
+
+@pytest.fixture(scope="module")
+def chain_setup():
+    from rlvae_tpu.ops.iaf_kernels import get_fused_iaf_chain
+
+    masks = iaf_masks(D, H, NH)
+    flows = [init_iaf(jax.random.PRNGKey(i), D, H, NB, NH) for i in range(2)]
+    nt = 4  # 2 flows + last-flow reuse for transitions 2,3
+    chain = get_fused_iaf_chain(D, H, NB, NH, nt, interpret=True)
+    params_chain = [flows[min(t, len(flows) - 1)] for t in range(nt)]
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(5, D)).astype(np.float32))
+    return flows, masks, chain, params_chain, x, nt
+
+
+def test_chain_forward_parity(chain_setup):
+    flows, masks, chain, params_chain, x, nt = chain_setup
+    z_ref, ld_ref = _chain_ref(flows, masks, x, nt)
+    z_k, ld_k = chain(params_chain, x)
+    np.testing.assert_allclose(np.asarray(z_k), np.asarray(z_ref), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld_k), np.asarray(ld_ref), rtol=1e-6, atol=1e-6)
+
+
+def test_chain_gradient_parity(chain_setup):
+    """Gradients w.r.t. input AND the two underlying flows (incl. the
+    reuse-summed cotangents for the repeated last flow) must match XLA."""
+    flows, masks, chain, params_chain, x, nt = chain_setup
+
+    def loss_ref(fl, x):
+        z, ld = _chain_ref(fl, masks, x, nt)
+        # weight every transition differently so dz/dld per transition differ
+        w = jnp.arange(1.0, nt + 1)[:, None, None]
+        return jnp.sum(jnp.sin(z) * w) + jnp.sum(ld * jnp.arange(1.0, nt + 1)[:, None])
+
+    def loss_k(fl, x):
+        pc = [fl[min(t, len(fl) - 1)] for t in range(nt)]
+        z, ld = chain(pc, x)
+        w = jnp.arange(1.0, nt + 1)[:, None, None]
+        return jnp.sum(jnp.sin(z) * w) + jnp.sum(ld * jnp.arange(1.0, nt + 1)[:, None])
+
+    gr_f, gr_x = jax.grad(loss_ref, argnums=(0, 1))(flows, x)
+    gk_f, gk_x = jax.grad(loss_k, argnums=(0, 1))(flows, x)
+    # 4 chained transitions amplify gradients to ~1e7; f32 reduction-order
+    # noise then lands on near-zero elements (cancellation), so tolerance is
+    # scaled per leaf by its own magnitude (same scheme as the DP-parity test)
+    def close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1e-3, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6 * scale)
+
+    close(gr_x, gk_x)
+    for a, b in zip(jax.tree_util.tree_leaves(gr_f), jax.tree_util.tree_leaves(gk_f)):
+        close(a, b)
+
+
+def test_chain_single_transition(chain_setup):
+    from rlvae_tpu.ops.iaf_kernels import get_fused_iaf_chain
+
+    flows, masks, *_ = chain_setup
+    chain1 = get_fused_iaf_chain(D, H, NB, NH, 1, interpret=True)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(3, D)).astype(np.float32))
+    z_k, ld_k = chain1([flows[0]], x)
+    y_ref, ld_ref = iaf_forward(flows[0], masks, x)
+    np.testing.assert_allclose(np.asarray(z_k[0]), np.asarray(y_ref), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld_k[0]), np.asarray(ld_ref), rtol=1e-6, atol=1e-6)
+
+
+def test_apply_temporal_flows_uses_chain(monkeypatch):
+    """With backend=pallas (interpret on CPU), apply_temporal_flows routes
+    through the chain kernel and matches the XLA path end-to-end."""
+    import rlvae_tpu.ops.iaf_kernels as ik
+    from rlvae_tpu.flows.temporal import TemporalFlowConfig, apply_temporal_flows
+
+    monkeypatch.setattr(ik, "CHAIN_MIN_BATCH", 1)  # chain gated to B>=48 on TPU
+
+    cfg_x = TemporalFlowConfig(D, 2, H, NB, NH, backend="xla")
+    flows = cfg_x.init(jax.random.PRNGKey(4))
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(3, D)).astype(np.float32))
+    z_ref, ld_ref = apply_temporal_flows(cfg_x, flows, x, 5)
+
+    cfg_p = TemporalFlowConfig(D, 2, H, NB, NH, backend="pallas")
+    z_k, ld_k = apply_temporal_flows(cfg_p, flows, x, 5)
+    np.testing.assert_allclose(np.asarray(z_k), np.asarray(z_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_k), np.asarray(ld_ref), rtol=1e-5, atol=1e-5)
