@@ -108,31 +108,25 @@ def _iaf_fwd_kernel(
     *, d: int, n_blocks: int, n_hidden: int, tb: int,
 ):
     """Forward: y_ref = IAF(x), ld_ref = sum log|det J|, ys_ref = per-block
-    pre-flip outputs (the backward residuals)."""
+    pre-flip outputs (the backward residuals).  The transition math lives in
+    :func:`_transition_fwd_body`, shared with the whole-chain kernel."""
     rev = _rev_matrix(d)
     col = jax.lax.broadcasted_iota(jnp.int32, (tb, d), 1)
-    x = x_ref[...]
-    ld = jnp.zeros((tb, 1), jnp.float32)
+    blocks = [
+        (
+            w0_ref[b],
+            b0_ref[b],
+            [wh_ref[b, li] for li in range(n_hidden - 1)],
+            [bh_ref[b, li] for li in range(n_hidden - 1)],
+            wo_ref[b],
+            bo_ref[b],
+        )
+        for b in range(n_blocks)
+    ]
+    ys, y_final, ld = _transition_fwd_body(x_ref[...], blocks, col, rev, d, tb)
     for b in range(n_blocks):
-        w0, b0 = w0_ref[b], b0_ref[b]
-        whs = [wh_ref[b, li] for li in range(n_hidden - 1)]
-        bhs = [bh_ref[b, li] for li in range(n_hidden - 1)]
-        wo, bo = wo_ref[b], bo_ref[b]
-
-        def step(i, carry):
-            y, ld = carry
-            mu, s_pre, _ = _made_pass(y, w0, b0, whs, bhs, wo, bo, d)
-            s = jnp.clip(s_pre, -LOG_VAR_CLAMP, LOG_VAR_CLAMP)
-            y_cand = (x - mu) * jnp.exp(-s)
-            sel = col == i
-            y = jnp.where(sel, y_cand, y)
-            ld = ld - jnp.sum(jnp.where(sel, s, 0.0), axis=1, keepdims=True)
-            return y, ld
-
-        y, ld = jax.lax.fori_loop(0, d, step, (jnp.zeros((tb, d), jnp.float32), ld))
-        ys_ref[b] = y  # pre-flip residual
-        x = _dot(y, rev)  # dim flip between blocks (iaf_model.py:81)
-    y_ref[...] = x  # flipped output of the last block
+        ys_ref[b] = ys[b]  # pre-flip residuals
+    y_ref[...] = y_final  # flipped output of the last block
     ld_ref[...] = ld
 
 
@@ -142,7 +136,8 @@ def _iaf_bwd_kernel(
     dx_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwo_ref, dbo_ref,
     *, d: int, n_blocks: int, n_hidden: int, tb: int,
 ):
-    """Exact VJP of the forward kernel.
+    """Exact VJP of the forward kernel; math in :func:`_transition_bwd_body`
+    (shared with the whole-chain kernel).
 
     Weight/bias gradients accumulate across batch tiles: TPU grid steps run
     sequentially and every tile maps to the same output block, so the
@@ -159,65 +154,24 @@ def _iaf_bwd_kernel(
         dwo_ref[...] = jnp.zeros_like(dwo_ref)
         dbo_ref[...] = jnp.zeros_like(dbo_ref)
 
-    dy = _dot(dy_ref[...], rev)  # adjoint of the final flip
-    dld = dld_ref[...]  # [TB, 1]
-
-    for b in range(n_blocks - 1, -1, -1):
-        w0, b0 = w0_ref[b], b0_ref[b]
-        whs = [wh_ref[b, li] for li in range(n_hidden - 1)]
-        bhs = [bh_ref[b, li] for li in range(n_hidden - 1)]
-        wo, bo = wo_ref[b], bo_ref[b]
-        y_out = ys_ref[b]  # block output (pre-flip)
-        # block input: x for block 0, flip(previous block's output) after
-        x_in = x_ref[...] if b == 0 else _dot(ys_ref[b - 1], rev)
-
-        def rstep(j, carry):
-            i = d - 1 - j
-            dy, dx, dw0, db0, dwh, dbh, dwo, dbo = carry
-            dwh, dbh = list(dwh), list(dbh)
-            sel = col == i
-            y_in = jnp.where(col < i, y_out, 0.0)
-            mu, s_pre, acts = _made_pass(y_in, w0, b0, whs, bhs, wo, bo, d)
-            s = jnp.clip(s_pre, -LOG_VAR_CLAMP, LOG_VAR_CLAMP)
-            e = jnp.exp(-s)
-            u = (x_in - mu) * e  # u[:, i] is the value written at step i
-
-            du = jnp.where(sel, dy, 0.0)  # only column i of dy feeds step i
-            dmu = -du * e
-            dx = dx + du * e  # d x_in[:, i]
-            ds = -du * u - jnp.where(sel, dld, 0.0)
-            ds_pre = jnp.where(jnp.abs(s_pre) < LOG_VAR_CLAMP, ds, 0.0)
-
-            # backprop the 4-matmul MADE chain
-            dout = jnp.concatenate([dmu, ds_pre], axis=1)  # [TB, 2D]
-            a_prev = acts[-1]
-            da = _dot_nt(dout, wo)
-            dwo = dwo + _dot_tn(a_prev, dout)
-            dbo = dbo + jnp.sum(dout, axis=0, keepdims=True)
-            for li in range(n_hidden - 2, -1, -1):
-                g = jnp.where(acts[li + 1] > 0.0, da, 0.0)  # ReLU mask
-                dwh[li] = dwh[li] + _dot_tn(acts[li], g)
-                dbh[li] = dbh[li] + jnp.sum(g, axis=0, keepdims=True)
-                da = _dot_nt(g, whs[li])
-            # layer 0 has no activation
-            dw0 = dw0 + _dot_tn(y_in, da)
-            db0 = db0 + jnp.sum(da, axis=0, keepdims=True)
-            dy_in = _dot_nt(da, w0)
-            dy = dy + jnp.where(col < i, dy_in, 0.0)
-            return dy, dx, dw0, db0, tuple(dwh), tuple(dbh), dwo, dbo
-
-        zeros = (
-            jnp.zeros((tb, d), jnp.float32),
-            jnp.zeros_like(w0_ref[b]),
-            jnp.zeros_like(b0_ref[b]),
-            tuple(jnp.zeros((h_dim, h_dim), jnp.float32) for h_dim in [wh_ref.shape[-1]] * (n_hidden - 1)),
-            tuple(jnp.zeros((1, wh_ref.shape[-1]), jnp.float32) for _ in range(n_hidden - 1)),
-            jnp.zeros_like(wo_ref[b]),
-            jnp.zeros_like(bo_ref[b]),
+    blocks = [
+        (
+            w0_ref[b],
+            b0_ref[b],
+            [wh_ref[b, li] for li in range(n_hidden - 1)],
+            [bh_ref[b, li] for li in range(n_hidden - 1)],
+            wo_ref[b],
+            bo_ref[b],
         )
-        dy, dx, dw0, db0, dwh, dbh, dwo, dbo = jax.lax.fori_loop(
-            0, d, rstep, (dy, *zeros)
-        )
+        for b in range(n_blocks)
+    ]
+    ys = [ys_ref[b] for b in range(n_blocks)]
+    dx, d_blocks = _transition_bwd_body(
+        x_ref[...], ys, dy_ref[...], dld_ref[...], blocks, col, rev, d, tb
+    )
+    dx_ref[...] = dx
+    for b in range(n_blocks):
+        dw0, db0, dwh, dbh, dwo, dbo = d_blocks[b]
         dw0_ref[b] += dw0
         db0_ref[b] += db0
         for li in range(n_hidden - 1):
@@ -225,9 +179,6 @@ def _iaf_bwd_kernel(
             dbh_ref[b, li] += dbh[li]
         dwo_ref[b] += dwo
         dbo_ref[b] += dbo
-        # gradient entering the previous block's output: adjoint of the flip
-        dy = _dot(dx, rev) if b > 0 else dx
-    dx_ref[...] = dy  # for b == 0, dx IS the gradient w.r.t. the kernel input
 
 
 # ---------------------------------------------------------------------------
@@ -550,13 +501,14 @@ def get_fused_iaf(
 
 
 CHAIN_MAX_BATCH = 512  # single batch tile; larger batches use per-transition
-# v5e interleaved A/B of the flagship train step (chain vs per-transition),
-# across three processes (the axon tunnel's per-process variance changes
-# absolute step time 2x): B=4 -> 0.47x/0.93x, B=8-32 -> 0.92-1.08x,
-# B=64 -> 1.56x/0.96x, B=128 -> 1.01x.  The chain wins when per-launch
-# overhead is high and never loses at B>=48; below that it can regress, so
-# it is gated to the [48, 512] window.
-CHAIN_MIN_BATCH = 48
+# v5e interleaved A/B of the flagship train step, with BOTH arms compiled at
+# the measured batch shape while the gate override was in force (an earlier
+# measurement that warmed up at a different shape silently retraced both
+# arms onto the same program and reported tunnel noise as ratios): the
+# chain kernel wins consistently at every batch size — B=4 1.02x, B=16
+# 1.04x, B=64 1.01x, B=128 1.08x, B=256 1.01x — so it is enabled whenever
+# the batch fits one tile.
+CHAIN_MIN_BATCH = 1
 
 
 @functools.lru_cache(maxsize=None)

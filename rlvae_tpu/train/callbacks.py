@@ -7,9 +7,13 @@ with its hook set, ``CallbackHandler`` dispatch, ``ProgressBarCallback``,
 thin host-side layer over this framework's compiled training loop.
 
 TPU-first note: hooks run on the HOST between compiled dispatches — a
-callback never enters jit-land.  Per-step hooks therefore fire at the log
-cadence on the whole-epoch-compiled path (metrics for every step are still
-delivered; they arrive as one device fetch per epoch).
+callback never enters jit-land.  ``on_train_step_end`` therefore fires at
+the trainer's log cadence (``log_every_n_steps``), with the fetched metric
+dict, on BOTH training paths: forcing a device fetch every step would
+serialize the pipeline (per-step loop) or is impossible mid-epoch
+(whole-epoch-compiled path, one dispatch per epoch).  ``on_train_step_begin``
+fires every step on the per-step loop only; eval-step hooks fire per
+evaluation batch.
 """
 
 from __future__ import annotations

@@ -163,10 +163,13 @@ def make_epoch_fn_sharded(model: RlVAE, optimizer, mesh) -> Callable:
     Extends :func:`make_epoch_fn`'s one-dispatch-per-epoch design to DP
     meshes.  The naive port (``jnp.take`` across a batch-sharded dataset)
     would make XLA all-gather the dataset every step, so instead the epoch
-    runs under ``shard_map``: each device owns a contiguous dataset shard in
-    its HBM and scans over a *local* permutation of it, which is exactly the
-    shard-local shuffle a distributed loader does (reference has no analogue
-    — single device pinned, SURVEY.md §2c).  Gradients/metrics are
+    runs under ``shard_map``: each device owns a dataset shard in its HBM
+    (a seeded GLOBAL permutation is applied once at staging, so shards are
+    random subsets) and scans over a *local* permutation of it — the
+    shard-then-shuffle scheme distributed input pipelines use; samples do
+    not migrate between shards across epochs (the price of keeping the
+    dataset resident; reference has no analogue — single device pinned,
+    SURVEY.md §2c).  Gradients/metrics are
     ``pmean``-reduced over ICI inside the scan body; params and optimizer
     state stay replicated, so every device applies the identical update.
 
@@ -401,6 +404,9 @@ class Trainer:
                     for device_batch in _device_prefetch(
                         self.data.train_batches(epoch), bsharding, self.n_devices
                     ):
+                        self.callbacks.call_event(
+                            "on_train_step_begin", self.cfg, step=step
+                        )
                         key, k_step = jax.random.split(key)
                         timer.start()
                         variables, opt_state, metrics = self._train_step(
@@ -513,9 +519,18 @@ class Trainer:
             n_local = len(self.data.train) // self.n_devices
             n = min(n, n_local // local_bs)
             if self._device_data is None:
+                # stage ONCE with a seeded GLOBAL permutation so contiguous
+                # device shards are random subsets, not file order (a
+                # class-/subject-ordered dataset would otherwise pin one
+                # class per device for the whole run); per-epoch shuffles
+                # are then shard-local (shard-then-shuffle, as distributed
+                # input pipelines do)
                 usable = n_local * self.n_devices
+                gperm = np.random.default_rng(self.seed).permutation(
+                    len(self.data.train)
+                )[:usable]
                 self._device_data = jax.device_put(
-                    jnp.asarray(self.data.train.data[:usable]),
+                    jnp.asarray(self.data.train.data[gperm]),
                     NamedSharding(self.mesh, P(DATA_AXIS)),
                 )
             perm = np.stack(
@@ -549,9 +564,14 @@ class Trainer:
         for i, batch in enumerate(batches):
             if batch.shape[0] % self.n_devices != 0:
                 continue
+            self.callbacks.call_event("on_eval_step_begin", self.cfg, step=i)
             metrics = jax.device_get(
                 self._eval_step(variables, jnp.asarray(batch), jax.random.fold_in(key, i))
             )
             for k, v in metrics.items():
                 acc.setdefault(k, []).append(float(v))
+            self.callbacks.call_event(
+                "on_eval_step_end", self.cfg, step=i,
+                logs={k: float(v) for k, v in metrics.items()},
+            )
         return {k: float(np.mean(v)) for k, v in acc.items()}

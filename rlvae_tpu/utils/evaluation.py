@@ -27,6 +27,14 @@ def _forward_recon(model, variables, x, key, seq_mask=None, pix_mask=None):
     if "seq_mask" in sig:
         kwargs["seq_mask"] = seq_mask
         kwargs["pix_mask"] = pix_mask
+    elif seq_mask is not None or pix_mask is not None:
+        # models without native mask support (e.g. RlVAE) must not SEE the
+        # masked-out content, or the imputation metrics are leaky: zero it
+        # out before the forward instead
+        if pix_mask is not None:
+            x = x * pix_mask
+        if seq_mask is not None:
+            x = x * seq_mask[:, :, None, None, None]
     out = model.forward(variables, x, key, **kwargs)
     recon = out.get("recon_x", out.get("reconstruction"))
     return jnp.asarray(recon).reshape(x.shape)
@@ -46,15 +54,17 @@ def evaluate_reconstruction(
     data = np.asarray(data, np.float32)
     runs = []
     for r in range(n_runs):
-        errs = []
+        sums = []  # device scalars; ONE fetch per run (CLAUDE.md fetch rule)
         for i in range(0, data.shape[0], batch_size):
             x = jnp.asarray(data[i : i + batch_size])
             recon = _forward_recon(model, variables, x, jax.random.fold_in(key, r * 1000 + i))
             per_frame = jnp.sum(
                 (recon - x).reshape(x.shape[0] * x.shape[1], -1) ** 2, axis=-1
             )
-            errs.append(float(jnp.mean(per_frame)))
-        runs.append(float(np.mean(errs)))
+            sums.append(jnp.sum(per_frame))
+        total = jax.device_get(sums)
+        n_frames = data.shape[0] * data.shape[1]
+        runs.append(float(np.sum(total)) / n_frames)  # exact dataset mean
     return {
         "recon_mse": float(np.mean(runs)),
         "recon_mse_std": float(np.std(runs)),
@@ -79,8 +89,9 @@ def evaluate_missing(
     seq_mask = np.asarray(seq_mask, np.float32)
     pix_mask = np.asarray(pix_mask, np.float32)
     pix_runs, seq_runs = [], []
+    n_seqs = data.shape[0]
     for r in range(n_runs):
-        pix_errs, seq_errs = [], []
+        sums = []  # device scalars; ONE fetch per run (CLAUDE.md fetch rule)
         for i in range(0, data.shape[0], batch_size):
             x = jnp.asarray(data[i : i + batch_size])
             sm = jnp.asarray(seq_mask[i : i + batch_size])
@@ -93,12 +104,17 @@ def evaluate_missing(
             sq = ((recon - x) ** 2).reshape(b, t, -1)
             # (a) missing pixels within observed frames
             miss_pix = (sq * (1.0 - pm.reshape(b, t, -1))).sum(-1)
-            pix_errs.append(float(jnp.mean(jnp.sum(miss_pix * sm, axis=-1))))
             # (b) fully missing frames
             frame = sq.sum(-1)
-            seq_errs.append(float(jnp.mean(jnp.sum(frame * (1.0 - sm), axis=-1))))
-        pix_runs.append(float(np.mean(pix_errs)))
-        seq_runs.append(float(np.mean(seq_errs)))
+            sums.append(
+                (
+                    jnp.sum(jnp.sum(miss_pix * sm, axis=-1)),
+                    jnp.sum(jnp.sum(frame * (1.0 - sm), axis=-1)),
+                )
+            )
+        fetched = jax.device_get(sums)
+        pix_runs.append(float(sum(p for p, _ in fetched)) / n_seqs)
+        seq_runs.append(float(sum(s for _, s in fetched)) / n_seqs)
     return {
         "missing_pixel_mse": float(np.mean(pix_runs)),
         "missing_pixel_mse_std": float(np.std(pix_runs)),

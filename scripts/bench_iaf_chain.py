@@ -20,7 +20,13 @@ sys.path.insert(0, str(REPO_ROOT))
 import numpy as np  # noqa: E402
 
 
-def make_step(metric, force_per_transition: bool):
+def make_step(metric, force_per_transition: bool, batch: int):
+    """Build + COMPILE a train-step runner for `batch` with the chosen flow
+    backend.  The kernel choice is baked in at trace time, so the warmup
+    trace MUST happen at the target batch shape while the gate overrides are
+    in force — a warmup at a different shape would silently retrace later
+    under the production gate and both arms would measure the same program.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -29,8 +35,13 @@ def make_step(metric, force_per_transition: bool):
     from rlvae_tpu.train.optim import make_optimizer
     from rlvae_tpu.train.trainer import make_train_step
 
-    saved = ik.CHAIN_MAX_BATCH
-    ik.CHAIN_MAX_BATCH = 0 if force_per_transition else saved
+    saved_max, saved_min = ik.CHAIN_MAX_BATCH, ik.CHAIN_MIN_BATCH
+    if force_per_transition:
+        ik.CHAIN_MAX_BATCH = 0
+    else:
+        # force the chain at EVERY batch size (the production gate is
+        # CHAIN_MIN_BATCH; this script exists to measure both sides of it)
+        ik.CHAIN_MIN_BATCH = 1
     try:
         model = RlVAE(
             input_dim=(3, 64, 64), latent_dim=16, n_flows=8,
@@ -49,14 +60,16 @@ def make_step(metric, force_per_transition: bool):
             jax.block_until_ready(m)
             return (time.perf_counter() - t0) / n
 
-        # warmup/compile with the flag still in force
+        # warmup/compile AT THE TARGET SHAPE with the gate override in force
         x = jnp.asarray(
-            np.random.default_rng(0).uniform(size=(4, 8, 3, 64, 64)).astype(np.float32)
+            np.random.default_rng(0)
+            .uniform(size=(batch, 8, 3, 64, 64))
+            .astype(np.float32)
         )
         run(x, jax.random.PRNGKey(1), 3)
         return run
     finally:
-        ik.CHAIN_MAX_BATCH = saved
+        ik.CHAIN_MAX_BATCH, ik.CHAIN_MIN_BATCH = saved_max, saved_min
 
 
 def main():
@@ -68,15 +81,20 @@ def main():
     metric = load_metric(REPO_ROOT / "data" / "pretrained" / "metric.npz")
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
 
-    for batch in (4, 64):
+    import os
+
+    batches = tuple(
+        int(b) for b in os.environ.get("CHAIN_BENCH_BATCHES", "4,64").split(",")
+    )
+    for batch in batches:
         x = jnp.asarray(
             np.random.default_rng(0)
             .uniform(size=(batch, 8, 3, 64, 64))
             .astype(np.float32)
         )
         key = jax.random.PRNGKey(1)
-        run_chain = make_step(metric, force_per_transition=False)
-        run_pert = make_step(metric, force_per_transition=True)
+        run_chain = make_step(metric, force_per_transition=False, batch=batch)
+        run_pert = make_step(metric, force_per_transition=True, batch=batch)
         run_chain(x, key, 3)
         run_pert(x, key, 3)
         chain_t, pert_t = [], []

@@ -204,7 +204,8 @@ def main(argv=None):
                 params, opt_state, jnp.asarray(train[idx]), k,
                 epoch, jnp.asarray(seq_mask[idx]), jnp.asarray(pix_mask[idx]),
             )
-            losses.append(float(loss))
+            losses.append(loss)  # device scalar; fetched once per epoch
+        losses = [float(v) for v in jax.device_get(losses)]
         history.append({"epoch": epoch, "loss": float(np.mean(losses))})
         print(f"[{args.model}] epoch {epoch}: loss={np.mean(losses):.4f}", file=sys.stderr)
 

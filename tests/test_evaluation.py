@@ -137,3 +137,29 @@ def test_evaluation_cli(tmp_path, capsys):
     for k in ("recon_mse", "missing_pixel_mse", "missing_frame_mse",
               "fid_pixel", "fid_encoder"):
         assert np.isfinite(out[k]), k
+
+
+def test_forward_recon_masks_input_for_maskless_models():
+    """Models without native mask params (RlVAE) must not see masked-out
+    content: _forward_recon zeroes it before the forward, so imputation
+    metrics are not leaky."""
+    import jax.numpy as jnp
+
+    from rlvae_tpu.utils.evaluation import _forward_recon
+
+    m = _tiny_manager()
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(4, 4, 3, 8, 8)).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(3)
+    pix_zero = jnp.zeros_like(x)
+    sm = jnp.ones(x.shape[:2], jnp.float32)
+    masked = _forward_recon(m.model, m.variables, x, key, seq_mask=sm, pix_mask=pix_zero)
+    from_zeros = _forward_recon(m.model, m.variables, jnp.zeros_like(x), key)
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(from_zeros), atol=1e-6)
+    # and with full masks the input passes through unchanged
+    unmasked = _forward_recon(
+        m.model, m.variables, x, key, seq_mask=sm, pix_mask=jnp.ones_like(x)
+    )
+    plain = _forward_recon(m.model, m.variables, x, key)
+    np.testing.assert_allclose(np.asarray(unmasked), np.asarray(plain), atol=1e-6)

@@ -183,7 +183,7 @@ def test_apply_temporal_flows_uses_chain(monkeypatch):
     import rlvae_tpu.ops.iaf_kernels as ik
     from rlvae_tpu.flows.temporal import TemporalFlowConfig, apply_temporal_flows
 
-    monkeypatch.setattr(ik, "CHAIN_MIN_BATCH", 1)  # chain gated to B>=48 on TPU
+    monkeypatch.setattr(ik, "CHAIN_MIN_BATCH", 1)  # pin: route via the chain
 
     cfg_x = TemporalFlowConfig(D, 2, H, NB, NH, backend="xla")
     flows = cfg_x.init(jax.random.PRNGKey(4))
