@@ -62,7 +62,7 @@ def main():
 
     # --- G(z) bundle throughput (G_inv + chol + logdet + G in one kernel) ---
     best = 0.0
-    for b in (64, 1024, 8192):
+    for b in (64, 1024, 8192, 65536):
         idx = rng.integers(0, metric.n_centroids, size=b)
         z = jnp.asarray(
             np.asarray(metric.centroids)[idx] + 0.1 * rng.normal(size=(b, 16)), jnp.float32
