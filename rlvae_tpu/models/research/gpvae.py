@@ -119,6 +119,12 @@ class GPVAE:
         mu = enc.embedding[:, :l].reshape(b, t, l).transpose(0, 2, 1)  # [B,L,T]
         diag = jax.nn.softplus(enc.embedding[:, l : 2 * l]).reshape(b, t, l)
         off = jax.nn.softplus(enc.log_covariance[:, :l]).reshape(b, t, l)
+        return mu, self._posterior_from_stats(diag, off)
+
+    def _posterior_from_stats(self, diag: Array, off: Array) -> Array:
+        """inv_p [B,L,T,T] from per-frame precision stats [B,T,L] (already
+        softplus'd), via the banded construction (gpvae_model.py:154-183)."""
+        b, t, l = diag.shape
         # upper-bidiagonal precision cholesky P + I (rows = time)
         eye = jnp.eye(t, dtype=jnp.float32)
         prec = (
@@ -136,7 +142,7 @@ class GPVAE:
         inv_p = jax.vmap(lambda m: jax.scipy.linalg.solve_triangular(m, eye, lower=False))(
             prec.reshape(b * l, t, t)
         ).reshape(b, l, t, t)
-        return mu, inv_p
+        return inv_p
 
     # -- forward ------------------------------------------------------------------
 
