@@ -211,6 +211,67 @@ class LVAE_IAF:
 
     __call__ = forward
 
+    def estimate_nll(
+        self,
+        variables: Dict[str, Any],
+        x: Array,
+        key: Array,
+        n_samples: int = 50,
+        vi_index: Optional[int] = None,
+    ) -> Array:
+        """Importance-sampled NLL per sequence, [B] (reference:
+        lvae_iaf_model.py:900-1040 get_nll): sample the visit posterior at a
+        (host-drawn, static) vi_index, propagate past/future through the
+        per-transition flows, and weight by decoder likelihood x prior over
+        posterior density; the 2*pi terms of q and the prior cancel."""
+        params = variables["params"]
+        b, t = x.shape[0], x.shape[1]
+        s = int(n_samples)
+        if vi_index is None:
+            vi_index = int(np.random.randint(0, self.n_obs))
+        k_eps, _ = jax.random.split(key)
+
+        enc = self.encoder.apply({"params": params["encoder"]}, x[:, vi_index])
+        mu, log_var = enc.embedding, enc.log_covariance  # [B, D]
+        eps = jax.random.normal(k_eps, (s, b, self.latent_dim), jnp.float32)
+        z0_vi = (mu[None] + eps * jnp.exp(0.5 * log_var)[None]).reshape(
+            s * b, self.latent_dim
+        )
+        z = z0_vi
+        log_det_post = jnp.zeros(s * b, jnp.float32)
+        if self.posterior == "iaf":
+            z, log_det_post = iaf_inverse(
+                params["posterior_flow"], self.posterior_masks, z
+            )
+
+        z_seq, log_det = self.propagate(params, z, vi_index)  # [SB, T, D], [SB]
+        recon = self.decoder.apply(
+            {"params": params["decoder"]}, z_seq.reshape(s * b * t, self.latent_dim)
+        ).reconstruction
+
+        d_x = float(np.prod(self.input_dim))
+        x_rep = jnp.broadcast_to(x[None], (s, *x.shape)).reshape(s * b * t, -1)
+        per_frame = (
+            -0.5 * jnp.sum((recon.reshape(s * b * t, -1) - x_rep) ** 2, axis=-1)
+            - d_x / 2.0 * math.log(2.0 * math.pi)
+        )
+        log_p_x_given_z = per_frame.reshape(s * b, t).sum(axis=-1)
+
+        log_q = (
+            jnp.sum(
+                -0.5
+                * (
+                    log_var[None].repeat(s, 0).reshape(s * b, -1)
+                    + eps.reshape(s * b, -1) ** 2
+                ),
+                axis=1,
+            )
+            - log_det_post
+        )
+        log_prior = self.log_p_z(params, z_seq[:, 0]) + log_det
+        log_w = (log_p_x_given_z + log_prior - log_q).reshape(s, b)
+        return -(jax.scipy.special.logsumexp(log_w, axis=0) - math.log(float(s)))
+
     def _forward_warmup(self, params, x, key, epoch, train, seq_mask, pix_mask):
         """Per-frame VAE objective during warmup (lvae_iaf_model.py:148-198)."""
         b, t = x.shape[0], x.shape[1]
