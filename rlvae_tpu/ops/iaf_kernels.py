@@ -187,11 +187,11 @@ def _iaf_bwd_kernel(
 #
 # The temporal chain launches one fused kernel per transition (7 fwd + 7 bwd
 # at the flagship config).  These kernels run the ENTIRE chain per launch:
-# grid=(NT,), one grid step per transition, with that transition's weights
-# pipelined HBM->VMEM by the BlockSpec index maps and the evolving latent
-# carried across grid steps in VMEM scratch (TPU grids execute sequentially).
-# Single batch tile (B_pad <= 512); larger batches fall back to the
-# per-transition kernels.
+# grid=(batch_tiles, NT) with transitions innermost, each transition's
+# weights pipelined HBM->VMEM by the BlockSpec index maps and the evolving
+# latent carried across grid steps in VMEM scratch (TPU grids execute
+# sequentially; each tile re-seeds its carry at t==0).  The backward writes
+# per-tile weight-grad partials summed by XLA afterwards.
 
 
 def _transition_fwd_body(x, blocks, col, rev, d: int, tb: int):
@@ -296,10 +296,13 @@ def _iaf_chain_fwd_kernel(
     zc_ref,  # scratch: the latent carried across transitions
     *, d: int, n_blocks: int, n_hidden: int, tb: int,
 ):
+    """Grid (batch_tiles, transitions), transitions innermost: each tile's
+    chain runs t=0..NT-1 consecutively with the latent carried in scratch;
+    the next tile re-seeds at its t==0."""
     rev = _rev_matrix(d)
     col = jax.lax.broadcasted_iota(jnp.int32, (tb, d), 1)
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _seed():
         zc_ref[...] = x_ref[...]
 
@@ -318,15 +321,19 @@ def _iaf_chain_bwd_kernel(
     dx_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwo_ref, dbo_ref,
     *, d: int, n_blocks: int, n_hidden: int, tb: int, nt: int,
 ):
-    """Reverse sweep over transitions (index maps feed transition nt-1-t at
-    grid step t).  ``dx_ref`` doubles as the dz carry: its block is identical
-    across grid steps, so it stays resident in VMEM."""
-    t = pl.program_id(0)
+    """Grid (batch_tiles, transitions), transitions innermost and REVERSED
+    via the index maps (grid step t handles transition nt-1-t).  ``dx_ref``
+    doubles as the dz carry: its block is constant within a tile's sweep, so
+    it stays resident in VMEM; each tile re-seeds at its own first step.
+    Weight grads are PER-TILE partials (leading tile axis in the outputs),
+    summed by XLA outside the kernel — revisiting a transition's grad block
+    across non-consecutive tiles would not be accumulation-safe."""
+    t = pl.program_id(1)
     rev = _rev_matrix(d)
     col = jax.lax.broadcasted_iota(jnp.int32, (tb, d), 1)
 
     # cotangent of this transition's output: its own dy plus what later
-    # transitions propagated back (none at the first grid step)
+    # transitions propagated back (none at the tile's first grid step)
     carry = jnp.where(t == 0, 0.0, dx_ref[...])
     dy = dy_ref[0] + carry
     dld = dld_ref[0]
@@ -341,13 +348,13 @@ def _iaf_chain_bwd_kernel(
     dx_ref[...] = dx
     for b in range(n_blocks):
         dw0, db0, dwh, dbh, dwo, dbo = d_blocks[b]
-        dw0_ref[0, b] = dw0
-        db0_ref[0, b] = db0
+        dw0_ref[0, 0, b] = dw0
+        db0_ref[0, 0, b] = db0
         for li in range(n_hidden - 1):
-            dwh_ref[0, b, li] = dwh[li]
-            dbh_ref[0, b, li] = dbh[li]
-        dwo_ref[0, b] = dwo
-        dbo_ref[0, b] = dbo
+            dwh_ref[0, 0, b, li] = dwh[li]
+            dbh_ref[0, 0, b, li] = dbh[li]
+        dwo_ref[0, 0, b] = dwo
+        dbo_ref[0, 0, b] = dbo
 
 
 # ---------------------------------------------------------------------------
@@ -500,15 +507,16 @@ def get_fused_iaf(
     return fused
 
 
-CHAIN_MAX_BATCH = 512  # single batch tile; larger batches use per-transition
 # v5e interleaved A/B of the flagship train step, with BOTH arms compiled at
 # the measured batch shape while the gate override was in force (an earlier
 # measurement that warmed up at a different shape silently retraced both
 # arms onto the same program and reported tunnel noise as ratios): the
 # chain kernel wins consistently at every batch size — B=4 1.02x, B=16
-# 1.04x, B=64 1.01x, B=128 1.08x, B=256 1.01x — so it is enabled whenever
-# the batch fits one tile.
+# 1.04x, B=64 1.01x, B=128 1.08x, B=256 1.01x — so it is the default for
+# all batches (the 2-D grid tiles batches beyond 512 rows).  The window
+# gates exist for A/B forcing (scripts/bench_iaf_chain.py).
 CHAIN_MIN_BATCH = 1
+CHAIN_MAX_BATCH = 1 << 30
 
 
 @functools.lru_cache(maxsize=None)
@@ -536,35 +544,35 @@ def get_fused_iaf_chain(
 
     def fwd_pallas(params_chain, x):
         b = x.shape[0]
-        tb = _ceil_to(b, 8)
-        assert tb <= CHAIN_MAX_BATCH, f"chain kernel capped at {CHAIN_MAX_BATCH}, got {b}"
+        tb, b_pad = _tile(b)  # <=512-row tiles; grid handles any batch
+        n_tiles = b_pad // tb
         w0, b0, wh, bh, wo, bo = stack_chain(params_chain)
-        x_p = jnp.pad(x.astype(jnp.float32), ((0, tb - b), (0, 0)))
+        x_p = jnp.pad(x.astype(jnp.float32), ((0, b_pad - b), (0, 0)))
         wspec = lambda *shape: pl.BlockSpec(
-            (1, *shape), lambda t: (t,) + (0,) * len(shape), memory_space=pltpu.VMEM
+            (1, *shape), lambda i, t: (t,) + (0,) * len(shape), memory_space=pltpu.VMEM
         )
         z, ld, ys = pl.pallas_call(
             functools.partial(
                 _iaf_chain_fwd_kernel, d=d, n_blocks=nb, n_hidden=nh, tb=tb
             ),
-            grid=(nt,),
+            grid=(n_tiles, nt),
             in_specs=[
-                pl.BlockSpec((tb, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, d), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
                 wspec(nb, d, h), wspec(nb, 1, h),
                 wspec(nb, nh - 1, h, h), wspec(nb, nh - 1, 1, h),
                 wspec(nb, h, 2 * d), wspec(nb, 1, 2 * d),
             ],
             out_specs=[
-                pl.BlockSpec((1, tb, d), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tb, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tb, d), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tb, 1), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (1, nb, tb, d), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
+                    (1, nb, tb, d), lambda i, t: (t, 0, i, 0), memory_space=pltpu.VMEM
                 ),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((nt, tb, d), jnp.float32),
-                jax.ShapeDtypeStruct((nt, tb, 1), jnp.float32),
-                jax.ShapeDtypeStruct((nt, nb, tb, d), jnp.float32),
+                jax.ShapeDtypeStruct((nt, b_pad, d), jnp.float32),
+                jax.ShapeDtypeStruct((nt, b_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((nt, nb, b_pad, d), jnp.float32),
             ],
             scratch_shapes=[pltpu.VMEM((tb, d), jnp.float32)],
             interpret=interp,
@@ -572,58 +580,67 @@ def get_fused_iaf_chain(
         return z[:, :b], ld[:, :b, 0], (z, ys)
 
     def bwd_pallas(params_chain, x, residuals, dz, dld):
-        z_all, ys = residuals  # padded [NT, TB, D] / [NT, NB, TB, D]
+        z_all, ys = residuals  # padded [NT, B_pad, D] / [NT, NB, B_pad, D]
         b = x.shape[0]
-        tb = _ceil_to(b, 8)
+        tb, b_pad = _tile(b)
+        n_tiles = b_pad // tb
         w0, b0, wh, bh, wo, bo = stack_chain(params_chain)
-        x_p = jnp.pad(x.astype(jnp.float32), ((0, tb - b), (0, 0)))
-        dz_p = jnp.pad(dz.astype(jnp.float32), ((0, 0), (0, tb - b), (0, 0)))
-        dld_p = jnp.pad(dld.astype(jnp.float32), ((0, 0), (0, tb - b)))[..., None]
-        r = lambda t: nt - 1 - t  # reverse transition order
+        x_p = jnp.pad(x.astype(jnp.float32), ((0, b_pad - b), (0, 0)))
+        dz_p = jnp.pad(dz.astype(jnp.float32), ((0, 0), (0, b_pad - b), (0, 0)))
+        dld_p = jnp.pad(dld.astype(jnp.float32), ((0, 0), (0, b_pad - b)))[..., None]
+        r = lambda t: nt - 1 - t  # reverse transition order (inner grid axis)
         wspec = lambda *shape: pl.BlockSpec(
-            (1, *shape), lambda t: (r(t),) + (0,) * len(shape), memory_space=pltpu.VMEM
+            (1, *shape), lambda i, t: (r(t),) + (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        # per-tile weight-grad partials: leading tile axis, summed after
+        gspec = lambda *shape: pl.BlockSpec(
+            (1, 1, *shape),
+            lambda i, t: (i, r(t)) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
         )
         outs = pl.pallas_call(
             functools.partial(
                 _iaf_chain_bwd_kernel, d=d, n_blocks=nb, n_hidden=nh, tb=tb, nt=nt
             ),
-            grid=(nt,),
+            grid=(n_tiles, nt),
             in_specs=[
-                pl.BlockSpec((tb, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, d), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
                 # previous transition's output feeds transition rt as input;
                 # clamped at rt==0 (unused there — the kernel selects x_ref)
                 pl.BlockSpec(
                     (1, tb, d),
-                    lambda t: (jnp.maximum(r(t) - 1, 0), 0, 0),
+                    lambda i, t: (jnp.maximum(r(t) - 1, 0), i, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, nb, tb, d), lambda t: (r(t), 0, 0, 0), memory_space=pltpu.VMEM
+                    (1, nb, tb, d), lambda i, t: (r(t), 0, i, 0), memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec((1, tb, d), lambda t: (r(t), 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tb, 1), lambda t: (r(t), 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tb, d), lambda i, t: (r(t), i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tb, 1), lambda i, t: (r(t), i, 0), memory_space=pltpu.VMEM),
                 wspec(nb, d, h), wspec(nb, 1, h),
                 wspec(nb, nh - 1, h, h), wspec(nb, nh - 1, 1, h),
                 wspec(nb, h, 2 * d), wspec(nb, 1, 2 * d),
             ],
             out_specs=[
-                pl.BlockSpec((tb, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
-                wspec(nb, d, h), wspec(nb, 1, h),
-                wspec(nb, nh - 1, h, h), wspec(nb, nh - 1, 1, h),
-                wspec(nb, h, 2 * d), wspec(nb, 1, 2 * d),
+                pl.BlockSpec((tb, d), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+                gspec(nb, d, h), gspec(nb, 1, h),
+                gspec(nb, nh - 1, h, h), gspec(nb, nh - 1, 1, h),
+                gspec(nb, h, 2 * d), gspec(nb, 1, 2 * d),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((tb, d), jnp.float32),
-                jax.ShapeDtypeStruct((nt, nb, d, h), jnp.float32),
-                jax.ShapeDtypeStruct((nt, nb, 1, h), jnp.float32),
-                jax.ShapeDtypeStruct((nt, nb, nh - 1, h, h), jnp.float32),
-                jax.ShapeDtypeStruct((nt, nb, nh - 1, 1, h), jnp.float32),
-                jax.ShapeDtypeStruct((nt, nb, h, 2 * d), jnp.float32),
-                jax.ShapeDtypeStruct((nt, nb, 1, 2 * d), jnp.float32),
+                jax.ShapeDtypeStruct((b_pad, d), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, nt, nb, d, h), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, nt, nb, 1, h), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, nt, nb, nh - 1, h, h), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, nt, nb, nh - 1, 1, h), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, nt, nb, h, 2 * d), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, nt, nb, 1, 2 * d), jnp.float32),
             ],
             interpret=interp,
         )(x_p, z_all, ys, dz_p, dld_p, w0, b0, wh, bh, wo, bo)
-        dx, dw0, db0, dwh, dbh, dwo, dbo = outs
+        dx = outs[0]
+        # sum the per-tile partials (one XLA reduction per grad stack)
+        dw0, db0, dwh, dbh, dwo, dbo = (o.sum(axis=0) for o in outs[1:])
         d_chain = []
         for ti in range(nt):
             d_params = []

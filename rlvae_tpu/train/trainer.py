@@ -561,12 +561,16 @@ class Trainer:
         key = key if key is not None else jax.random.PRNGKey(0)
         batches = self.data.val_batches() if split == "val" else self.data.test_batches()
         acc: Dict[str, list] = {}
+        bsharding = batch_sharding(self.mesh)
         for i, batch in enumerate(batches):
             if batch.shape[0] % self.n_devices != 0:
                 continue
             self.callbacks.call_event("on_eval_step_begin", self.cfg, step=i)
+            # shard eval batches over the data axis too (replicated-variables
+            # DP eval; XLA reduces the means over ICI)
+            device_batch = jax.device_put(jnp.asarray(batch), bsharding)
             metrics = jax.device_get(
-                self._eval_step(variables, jnp.asarray(batch), jax.random.fold_in(key, i))
+                self._eval_step(variables, device_batch, jax.random.fold_in(key, i))
             )
             for k, v in metrics.items():
                 acc.setdefault(k, []).append(float(v))

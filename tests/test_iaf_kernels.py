@@ -194,3 +194,48 @@ def test_apply_temporal_flows_uses_chain(monkeypatch):
     z_k, ld_k = apply_temporal_flows(cfg_p, flows, x, 5)
     np.testing.assert_allclose(np.asarray(z_k), np.asarray(z_ref), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ld_k), np.asarray(ld_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_chain_multi_tile_parity(monkeypatch):
+    """Batches beyond one tile: the 2-D grid (tiles x transitions) must match
+    XLA exactly, including the per-tile weight-grad partial summation.  Tiles
+    are forced tiny so a B=20 batch spans 3 tiles in interpret mode."""
+    import rlvae_tpu.ops.iaf_kernels as ik
+
+    monkeypatch.setattr(ik, "_tile", lambda b: (8, ((b + 7) // 8) * 8))
+    masks = iaf_masks(D, H, NH)
+    flows = [init_iaf(jax.random.PRNGKey(9), D, H, NB, NH)]
+    nt = 2
+    # fresh cache entry (interpret explicitly, distinct nt from other tests'
+    # cached closures is not guaranteed -> clear the cache to re-trace under
+    # the patched _tile)
+    ik.get_fused_iaf_chain.cache_clear()
+    chain = ik.get_fused_iaf_chain(D, H, NB, NH, nt, interpret=True)
+    pc = [flows[0], flows[0]]
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(20, D)).astype(np.float32))
+
+    z_ref, ld_ref = _chain_ref(flows, masks, x, nt)
+    z_k, ld_k = chain(pc, x)
+    np.testing.assert_allclose(np.asarray(z_k), np.asarray(z_ref), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld_k), np.asarray(ld_ref), rtol=1e-6, atol=1e-6)
+
+    def loss_ref(fl, x):
+        z, ld = _chain_ref(fl, masks, x, nt)
+        return jnp.sum(jnp.sin(z)) + jnp.sum(ld)
+
+    def loss_k(fl, x):
+        z, ld = chain([fl[0], fl[0]], x)
+        return jnp.sum(jnp.sin(z)) + jnp.sum(ld)
+
+    gr_f, gr_x = jax.grad(loss_ref, argnums=(0, 1))(flows, x)
+    gk_f, gk_x = jax.grad(loss_k, argnums=(0, 1))(flows, x)
+
+    def close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1e-3, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6 * scale)
+
+    close(gr_x, gk_x)
+    for a, b in zip(jax.tree_util.tree_leaves(gr_f), jax.tree_util.tree_leaves(gk_f)):
+        close(a, b)
+    ik.get_fused_iaf_chain.cache_clear()  # drop the patched-_tile closure
