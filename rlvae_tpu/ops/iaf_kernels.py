@@ -102,87 +102,9 @@ def _rev_matrix(d: int):
     return jnp.where(row + col == d - 1, 1.0, 0.0).astype(jnp.float32)
 
 
-def _iaf_fwd_kernel(
-    x_ref, w0_ref, b0_ref, wh_ref, bh_ref, wo_ref, bo_ref,
-    y_ref, ld_ref, ys_ref,
-    *, d: int, n_blocks: int, n_hidden: int, tb: int,
-):
-    """Forward: y_ref = IAF(x), ld_ref = sum log|det J|, ys_ref = per-block
-    pre-flip outputs (the backward residuals).  The transition math lives in
-    :func:`_transition_fwd_body`, shared with the whole-chain kernel."""
-    rev = _rev_matrix(d)
-    col = jax.lax.broadcasted_iota(jnp.int32, (tb, d), 1)
-    blocks = [
-        (
-            w0_ref[b],
-            b0_ref[b],
-            [wh_ref[b, li] for li in range(n_hidden - 1)],
-            [bh_ref[b, li] for li in range(n_hidden - 1)],
-            wo_ref[b],
-            bo_ref[b],
-        )
-        for b in range(n_blocks)
-    ]
-    ys, y_final, ld = _transition_fwd_body(x_ref[...], blocks, col, rev, d, tb)
-    for b in range(n_blocks):
-        ys_ref[b] = ys[b]  # pre-flip residuals
-    y_ref[...] = y_final  # flipped output of the last block
-    ld_ref[...] = ld
-
-
-def _iaf_bwd_kernel(
-    x_ref, ys_ref, dy_ref, dld_ref,
-    w0_ref, b0_ref, wh_ref, bh_ref, wo_ref, bo_ref,
-    dx_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwo_ref, dbo_ref,
-    *, d: int, n_blocks: int, n_hidden: int, tb: int,
-):
-    """Exact VJP of the forward kernel; math in :func:`_transition_bwd_body`
-    (shared with the whole-chain kernel).
-
-    Weight/bias gradients accumulate across batch tiles: TPU grid steps run
-    sequentially and every tile maps to the same output block, so the
-    zero-init happens only on the first tile."""
-    rev = _rev_matrix(d)
-    col = jax.lax.broadcasted_iota(jnp.int32, (tb, d), 1)
-
-    @pl.when(pl.program_id(0) == 0)
-    def _zero():
-        dw0_ref[...] = jnp.zeros_like(dw0_ref)
-        db0_ref[...] = jnp.zeros_like(db0_ref)
-        dwh_ref[...] = jnp.zeros_like(dwh_ref)
-        dbh_ref[...] = jnp.zeros_like(dbh_ref)
-        dwo_ref[...] = jnp.zeros_like(dwo_ref)
-        dbo_ref[...] = jnp.zeros_like(dbo_ref)
-
-    blocks = [
-        (
-            w0_ref[b],
-            b0_ref[b],
-            [wh_ref[b, li] for li in range(n_hidden - 1)],
-            [bh_ref[b, li] for li in range(n_hidden - 1)],
-            wo_ref[b],
-            bo_ref[b],
-        )
-        for b in range(n_blocks)
-    ]
-    ys = [ys_ref[b] for b in range(n_blocks)]
-    dx, d_blocks = _transition_bwd_body(
-        x_ref[...], ys, dy_ref[...], dld_ref[...], blocks, col, rev, d, tb
-    )
-    dx_ref[...] = dx
-    for b in range(n_blocks):
-        dw0, db0, dwh, dbh, dwo, dbo = d_blocks[b]
-        dw0_ref[b] += dw0
-        db0_ref[b] += db0
-        for li in range(n_hidden - 1):
-            dwh_ref[b, li] += dwh[li]
-            dbh_ref[b, li] += dbh[li]
-        dwo_ref[b] += dwo
-        dbo_ref[b] += dbo
-
-
 # ---------------------------------------------------------------------------
 # Whole-chain mega-kernels: all T-1 temporal transitions in ONE program
+# (a single IAF is the n_transitions == 1 case — get_fused_iaf delegates)
 # ---------------------------------------------------------------------------
 #
 # The temporal chain launches one fused kernel per transition (7 fwd + 7 bwd
@@ -396,114 +318,17 @@ def get_fused_iaf(
     """Build (and cache) the fused custom-VJP IAF forward for a static shape.
 
     Returns f(params, x) -> (y, logdet) differentiable w.r.t. both, exactly
-    matching :func:`rlvae_tpu.flows.iaf.iaf_forward` (density direction)."""
-    d, h, nb, nh = input_dim, hidden_size, n_blocks, n_hidden
-    # numpy constants (NOT jnp): the closure is lru-cached, so device arrays
-    # created inside an enclosing trace would leak tracers into later calls
-    masks = tuple(np.asarray(m, np.float32) for m in make_masks(d, [h] * nh))
-    interp = (not _on_tpu()) if interpret is None else interpret
+    matching :func:`rlvae_tpu.flows.iaf.iaf_forward` (density direction).
+    One IAF is the chain kernel with a single transition — there is only one
+    kernel pair to maintain (see the whole-chain section below)."""
+    chain = get_fused_iaf_chain(
+        input_dim, hidden_size, n_blocks, n_hidden, 1, interpret
+    )
 
-    def fwd_pallas(params, x):
-        b = x.shape[0]
-        tb, b_pad = _tile(b)
-        stacked = _stack_params(params, masks, nh)
-        x_p = jnp.pad(x.astype(jnp.float32), ((0, b_pad - b), (0, 0)))
-        grid = (b_pad // tb,)
-        rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-        y, ld, ys = pl.pallas_call(
-            functools.partial(_iaf_fwd_kernel, d=d, n_blocks=nb, n_hidden=nh, tb=tb),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((tb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                rep(nb, d, h), rep(nb, 1, h),
-                rep(nb, nh - 1, h, h), rep(nb, nh - 1, 1, h),
-                rep(nb, h, 2 * d), rep(nb, 1, 2 * d),
-            ],
-            out_specs=[
-                pl.BlockSpec((tb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((nb, tb, d), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((b_pad, d), jnp.float32),
-                jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
-                jax.ShapeDtypeStruct((nb, b_pad, d), jnp.float32),
-            ],
-            interpret=interp,
-        )(x_p, *stacked)
-        return y[:b], ld[:b, 0], ys
-
-    def bwd_pallas(params, x, ys, dy, dld):
-        b = x.shape[0]
-        tb, b_pad = _tile(b)
-        stacked = _stack_params(params, masks, nh)
-        pad = lambda a: jnp.pad(a.astype(jnp.float32), ((0, b_pad - b), (0, 0)))
-        x_p = pad(x)
-        dy_p = pad(dy)
-        dld_p = pad(dld[:, None])
-        grid = (b_pad // tb,)
-        rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-        outs = pl.pallas_call(
-            functools.partial(_iaf_bwd_kernel, d=d, n_blocks=nb, n_hidden=nh, tb=tb),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((tb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((nb, tb, d), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                rep(nb, d, h), rep(nb, 1, h),
-                rep(nb, nh - 1, h, h), rep(nb, nh - 1, 1, h),
-                rep(nb, h, 2 * d), rep(nb, 1, 2 * d),
-            ],
-            out_specs=[
-                pl.BlockSpec((tb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                rep(nb, d, h), rep(nb, 1, h),
-                rep(nb, nh - 1, h, h), rep(nb, nh - 1, 1, h),
-                rep(nb, h, 2 * d), rep(nb, 1, 2 * d),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((b_pad, d), jnp.float32),
-                jax.ShapeDtypeStruct((nb, d, h), jnp.float32),
-                jax.ShapeDtypeStruct((nb, 1, h), jnp.float32),
-                jax.ShapeDtypeStruct((nb, nh - 1, h, h), jnp.float32),
-                jax.ShapeDtypeStruct((nb, nh - 1, 1, h), jnp.float32),
-                jax.ShapeDtypeStruct((nb, h, 2 * d), jnp.float32),
-                jax.ShapeDtypeStruct((nb, 1, 2 * d), jnp.float32),
-            ],
-            interpret=interp,
-        )(x_p, ys, dy_p, dld_p, *stacked)
-        dx, dw0, db0, dwh, dbh, dwo, dbo = outs
-        # unstack into the list-of-dicts param structure; weight grads pass
-        # back through the mask premultiply (chain rule of mask * w)
-        d_params = []
-        for bi in range(nb):
-            blk = {
-                "w0": masks[0] * dw0[bi],
-                "b0": db0[bi, 0],
-                f"w{nh}": masks[nh] * dwo[bi],
-                f"b{nh}": dbo[bi, 0],
-            }
-            for li in range(1, nh):
-                blk[f"w{li}"] = masks[li] * dwh[bi, li - 1]
-                blk[f"b{li}"] = dbh[bi, li - 1, 0]
-            d_params.append(blk)
-        return d_params, dx[:b]
-
-    @jax.custom_vjp
     def fused(params, x):
-        y, ld, _ = fwd_pallas(params, x)
-        return y, ld
+        z, ld = chain([params], x)
+        return z[0], ld[0]
 
-    def fused_fwd(params, x):
-        y, ld, ys = fwd_pallas(params, x)
-        return (y, ld), (params, x, ys)
-
-    def fused_bwd(res, cotangents):
-        params, x, ys = res
-        dy, dld = cotangents
-        return bwd_pallas(params, x, ys, dy, dld)
-
-    fused.defvjp(fused_fwd, fused_bwd)
     return fused
 
 

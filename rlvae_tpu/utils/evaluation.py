@@ -52,16 +52,18 @@ def evaluate_reconstruction(
     (evaluation.py:20-57)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     data = np.asarray(data, np.float32)
+
+    @jax.jit
+    def batch_sq_err(variables, x, k):
+        recon = _forward_recon(model, variables, x, k)
+        return jnp.sum((recon - x) ** 2)
+
     runs = []
     for r in range(n_runs):
         sums = []  # device scalars; ONE fetch per run (CLAUDE.md fetch rule)
         for i in range(0, data.shape[0], batch_size):
             x = jnp.asarray(data[i : i + batch_size])
-            recon = _forward_recon(model, variables, x, jax.random.fold_in(key, r * 1000 + i))
-            per_frame = jnp.sum(
-                (recon - x).reshape(x.shape[0] * x.shape[1], -1) ** 2, axis=-1
-            )
-            sums.append(jnp.sum(per_frame))
+            sums.append(batch_sq_err(variables, x, jax.random.fold_in(key, r * 1000 + i)))
         total = jax.device_get(sums)
         n_frames = data.shape[0] * data.shape[1]
         runs.append(float(np.sum(total)) / n_frames)  # exact dataset mean
@@ -90,26 +92,31 @@ def evaluate_missing(
     pix_mask = np.asarray(pix_mask, np.float32)
     pix_runs, seq_runs = [], []
     n_seqs = data.shape[0]
+
+    @jax.jit
+    def batch_missing_sums(variables, x, k, sm, pm):
+        recon = _forward_recon(model, variables, x, k, seq_mask=sm, pix_mask=pm)
+        b, t = x.shape[0], x.shape[1]
+        sq = ((recon - x) ** 2).reshape(b, t, -1)
+        # (a) missing pixels within observed frames
+        miss_pix = (sq * (1.0 - pm.reshape(b, t, -1))).sum(-1)
+        # (b) fully missing frames
+        frame = sq.sum(-1)
+        return (
+            jnp.sum(jnp.sum(miss_pix * sm, axis=-1)),
+            jnp.sum(jnp.sum(frame * (1.0 - sm), axis=-1)),
+        )
+
     for r in range(n_runs):
         sums = []  # device scalars; ONE fetch per run (CLAUDE.md fetch rule)
         for i in range(0, data.shape[0], batch_size):
-            x = jnp.asarray(data[i : i + batch_size])
-            sm = jnp.asarray(seq_mask[i : i + batch_size])
-            pm = jnp.asarray(pix_mask[i : i + batch_size])
-            recon = _forward_recon(
-                model, variables, x, jax.random.fold_in(key, r * 1000 + i),
-                seq_mask=sm, pix_mask=pm,
-            )
-            b, t = x.shape[0], x.shape[1]
-            sq = ((recon - x) ** 2).reshape(b, t, -1)
-            # (a) missing pixels within observed frames
-            miss_pix = (sq * (1.0 - pm.reshape(b, t, -1))).sum(-1)
-            # (b) fully missing frames
-            frame = sq.sum(-1)
             sums.append(
-                (
-                    jnp.sum(jnp.sum(miss_pix * sm, axis=-1)),
-                    jnp.sum(jnp.sum(frame * (1.0 - sm), axis=-1)),
+                batch_missing_sums(
+                    variables,
+                    jnp.asarray(data[i : i + batch_size]),
+                    jax.random.fold_in(key, r * 1000 + i),
+                    jnp.asarray(seq_mask[i : i + batch_size]),
+                    jnp.asarray(pix_mask[i : i + batch_size]),
                 )
             )
         fetched = jax.device_get(sums)
