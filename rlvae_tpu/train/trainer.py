@@ -319,6 +319,12 @@ class Trainer:
         )
         if n_dev > 1 and int(getattr(self.data, "batch_size", 0)) % n_dev != 0:
             self.epoch_jit = False  # uneven shards; per-step loop drops remainders
+        if jax.process_count() > 1:
+            # multi-host staging would need per-process array assembly
+            # (jax.make_array_from_process_local_data) plus per-host perm
+            # slicing; the per-step loop already handles multi-host via
+            # per-host batches + psum, so epoch-jit stays single-process
+            self.epoch_jit = False
         if not self.epoch_jit:
             self._epoch_fn = None
         elif n_dev == 1:
