@@ -218,17 +218,36 @@ class LVAE_IAF:
         key: Array,
         n_samples: int = 50,
         vi_index: Optional[int] = None,
+        batch_size: int = 100,
     ) -> Array:
         """Importance-sampled NLL per sequence, [B] (reference:
         lvae_iaf_model.py:900-1040 get_nll): sample the visit posterior at a
         (host-drawn, static) vi_index, propagate past/future through the
         per-transition flows, and weight by decoder likelihood x prior over
-        posterior density; the 2*pi terms of q and the prior cancel."""
-        params = variables["params"]
-        b, t = x.shape[0], x.shape[1]
-        s = int(n_samples)
+        posterior density; the 2*pi terms of q and the prior cancel.
+        Importance samples are processed in chunks of ``batch_size`` (the
+        reference's memory guard, :912-916), logsumexp'd across chunks."""
         if vi_index is None:
             vi_index = int(np.random.randint(0, self.n_obs))
+        chunks = []
+        remaining = int(n_samples)
+        while remaining > 0:
+            s = min(remaining, int(batch_size))
+            key, k_chunk = jax.random.split(key)
+            chunks.append(self._nll_chunk(variables, x, k_chunk, s, vi_index))
+            remaining -= s
+        log_w = jnp.concatenate(chunks, axis=0)  # [S_total, B]
+        return -(
+            jax.scipy.special.logsumexp(log_w, axis=0)
+            - math.log(float(log_w.shape[0]))
+        )
+
+    def _nll_chunk(
+        self, variables: Dict[str, Any], x: Array, key: Array, s: int, vi_index: int
+    ) -> Array:
+        """[s, B] importance log-weights for one chunk of samples."""
+        params = variables["params"]
+        b, t = x.shape[0], x.shape[1]
         k_eps, _ = jax.random.split(key)
 
         enc = self.encoder.apply({"params": params["encoder"]}, x[:, vi_index])
@@ -269,8 +288,7 @@ class LVAE_IAF:
             - log_det_post
         )
         log_prior = self.log_p_z(params, z_seq[:, 0]) + log_det
-        log_w = (log_p_x_given_z + log_prior - log_q).reshape(s, b)
-        return -(jax.scipy.special.logsumexp(log_w, axis=0) - math.log(float(s)))
+        return (log_p_x_given_z + log_prior - log_q).reshape(s, b)
 
     def _forward_warmup(self, params, x, key, epoch, train, seq_mask, pix_mask):
         """Per-frame VAE objective during warmup (lvae_iaf_model.py:148-198)."""

@@ -8,22 +8,28 @@ forward at the flagship config.  As XLA ops (lax.scan over dims) each pass is
 ~4 small matmuls plus glue — the train step is dominated by their sequential
 launch latency, not FLOPs.
 
-This kernel runs one complete IAF (all MADE blocks, the D-step
-autoregressive update, and the dim flips between blocks) as ONE Pallas
-program with every weight resident in VMEM:
+ONE kernel pair (get_fused_iaf_chain; get_fused_iaf is its n_transitions=1
+case) runs the entire temporal chain — every MADE block, the D-step
+autoregressive update, the dim flips, and all T-1 transitions — per launch,
+on a 2-D grid (batch tiles outer, transitions inner):
 
-- weights arrive mask-premultiplied and stacked per block, so each step is
-  a clean [TB,H] x [H,H] MXU chain;
+- weights arrive mask-premultiplied and stacked per transition; the
+  BlockSpec index maps pipeline each transition's stack HBM->VMEM, and each
+  step is a clean [TB,H] x [H,H] MXU chain;
 - the per-dim update uses a broadcasted-iota column select (no dynamic lane
   slicing);
 - the dim flip is a [D,D] reversal-permutation matmul (guaranteed lowering,
   vs lane-reversal ops);
-- the backward pass is a second Pallas kernel implementing the exact VJP.
-  Key property exploited: the MADE *input* at dim-step i equals the block's
-  final output masked to columns < i (dims are written once, in order), so
-  the only residuals needed are each block's output — the backward kernel
-  re-runs the 4-matmul forward per reverse step and accumulates weight
-  gradients in VMEM across batch tiles (TPU grids execute sequentially).
+- the evolving latent is carried across a tile's transitions in VMEM
+  scratch (TPU grids execute sequentially; each tile re-seeds at t==0);
+- the backward kernel implements the exact VJP, sweeping transitions in
+  reverse with the dz carry resident in the (per-tile-constant) output
+  block.  Key property exploited: the MADE *input* at dim-step i equals the
+  block's final output masked to columns < i (dims are written once, in
+  order), so the only residuals needed are each block's output.  Weight
+  gradients are written as PER-TILE partials and summed by XLA afterwards —
+  cross-tile accumulation into a revisited output block would not be safe
+  on the 2-D grid.
 
 fp32 throughout with HIGHEST-precision matmuls (the outputs feed exp(-s);
 see CLAUDE.md precision policy).

@@ -567,14 +567,16 @@ class Trainer:
         key = key if key is not None else jax.random.PRNGKey(0)
         batches = self.data.val_batches() if split == "val" else self.data.test_batches()
         acc: Dict[str, list] = {}
-        bsharding = batch_sharding(self.mesh)
+        from rlvae_tpu.parallel import shard_batch
+
         for i, batch in enumerate(batches):
             if batch.shape[0] % self.n_devices != 0:
                 continue
             self.callbacks.call_event("on_eval_step_begin", self.cfg, step=i)
             # shard eval batches over the data axis too (replicated-variables
-            # DP eval; XLA reduces the means over ICI)
-            device_batch = jax.device_put(jnp.asarray(batch), bsharding)
+            # DP eval; XLA reduces the means over ICI); shard_batch places
+            # the host array per shard without staging it on one device
+            device_batch = shard_batch(self.mesh, np.asarray(batch, np.float32))
             metrics = jax.device_get(
                 self._eval_step(variables, device_batch, jax.random.fold_in(key, i))
             )

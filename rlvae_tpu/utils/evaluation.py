@@ -19,12 +19,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _forward_recon(model, variables, x, key, seq_mask=None, pix_mask=None):
+def _takes(model, name: str) -> bool:
     import inspect
 
+    return name in inspect.signature(model.forward).parameters
+
+
+def _forward_recon(model, variables, x, key, seq_mask=None, pix_mask=None,
+                   vi_index=None):
     kwargs = {}
-    sig = inspect.signature(model.forward).parameters
-    if "seq_mask" in sig:
+    if vi_index is not None and _takes(model, "vi_index"):
+        # longitudinal models (LVAE_IAF/RIEM families) draw a host-side
+        # random visit index when it is omitted — under jit that draw would
+        # be baked in at trace time, so the caller passes it explicitly
+        kwargs["vi_index"] = vi_index
+    if _takes(model, "seq_mask"):
         kwargs["seq_mask"] = seq_mask
         kwargs["pix_mask"] = pix_mask
     elif seq_mask is not None or pix_mask is not None:
@@ -50,12 +59,18 @@ def evaluate_reconstruction(
 ) -> Dict[str, float]:
     """Mean per-frame summed MSE over ``n_runs`` stochastic passes
     (evaluation.py:20-57)."""
+    import functools
+
     key = key if key is not None else jax.random.PRNGKey(0)
     data = np.asarray(data, np.float32)
+    # per-(run, batch) visit index for longitudinal models, drawn host-side
+    # and passed as a STATIC arg (at most n_obs retraces) so jit cannot
+    # freeze one random draw for every pass
+    vi_rng = np.random.default_rng(0) if _takes(model, "vi_index") else None
 
-    @jax.jit
-    def batch_sq_err(variables, x, k):
-        recon = _forward_recon(model, variables, x, k)
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def batch_sq_err(variables, x, k, vi):
+        recon = _forward_recon(model, variables, x, k, vi_index=vi)
         return jnp.sum((recon - x) ** 2)
 
     runs = []
@@ -63,7 +78,10 @@ def evaluate_reconstruction(
         sums = []  # device scalars; ONE fetch per run (CLAUDE.md fetch rule)
         for i in range(0, data.shape[0], batch_size):
             x = jnp.asarray(data[i : i + batch_size])
-            sums.append(batch_sq_err(variables, x, jax.random.fold_in(key, r * 1000 + i)))
+            vi = int(vi_rng.integers(model.n_obs)) if vi_rng is not None else None
+            sums.append(
+                batch_sq_err(variables, x, jax.random.fold_in(key, r * 1000 + i), vi)
+            )
         total = jax.device_get(sums)
         n_frames = data.shape[0] * data.shape[1]
         runs.append(float(np.sum(total)) / n_frames)  # exact dataset mean
@@ -90,12 +108,17 @@ def evaluate_missing(
     data = np.asarray(data, np.float32)
     seq_mask = np.asarray(seq_mask, np.float32)
     pix_mask = np.asarray(pix_mask, np.float32)
+    import functools
+
     pix_runs, seq_runs = [], []
     n_seqs = data.shape[0]
+    vi_rng = np.random.default_rng(0) if _takes(model, "vi_index") else None
 
-    @jax.jit
-    def batch_missing_sums(variables, x, k, sm, pm):
-        recon = _forward_recon(model, variables, x, k, seq_mask=sm, pix_mask=pm)
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def batch_missing_sums(variables, x, k, sm, pm, vi):
+        recon = _forward_recon(
+            model, variables, x, k, seq_mask=sm, pix_mask=pm, vi_index=vi
+        )
         b, t = x.shape[0], x.shape[1]
         sq = ((recon - x) ** 2).reshape(b, t, -1)
         # (a) missing pixels within observed frames
@@ -110,6 +133,7 @@ def evaluate_missing(
     for r in range(n_runs):
         sums = []  # device scalars; ONE fetch per run (CLAUDE.md fetch rule)
         for i in range(0, data.shape[0], batch_size):
+            vi = int(vi_rng.integers(model.n_obs)) if vi_rng is not None else None
             sums.append(
                 batch_missing_sums(
                     variables,
@@ -117,6 +141,7 @@ def evaluate_missing(
                     jax.random.fold_in(key, r * 1000 + i),
                     jnp.asarray(seq_mask[i : i + batch_size]),
                     jnp.asarray(pix_mask[i : i + batch_size]),
+                    vi,
                 )
             )
         fetched = jax.device_get(sums)
