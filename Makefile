@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test test-fast test-parity bench train-quick train-vanilla comparison sweep dryrun clean ci
+.PHONY: test test-fast test-parity bench train-quick train-vanilla comparison sweep dryrun clean ci lint
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -39,4 +39,16 @@ clean:
 	rm -rf outputs .pytest_cache native/build
 	find . -name __pycache__ -type d -exec rm -rf {} +
 
-ci: test
+# black/isort/mypy are not installable in this environment (no egress);
+# lint = byte-compile every source (syntax gate) + import the full public
+# package surface with warnings-as-errors (the reference's make lint
+# analogue, reference: Makefile:27-40)
+lint:
+	$(PY) -m compileall -q rlvae_tpu scripts tests run_experiment.py bench.py __graft_entry__.py
+	JAX_PLATFORMS=cpu $(PY) -W error::SyntaxWarning -c "\
+	import rlvae_tpu, rlvae_tpu.train, rlvae_tpu.samplers, rlvae_tpu.models, \
+	rlvae_tpu.models.research, rlvae_tpu.flows, rlvae_tpu.geometry, \
+	rlvae_tpu.viz, rlvae_tpu.data, rlvae_tpu.parallel, rlvae_tpu.utils, \
+	rlvae_tpu.config, rlvae_tpu.inference, rlvae_tpu.app_server"
+
+ci: lint test
