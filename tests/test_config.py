@@ -107,3 +107,20 @@ def test_config_node_api():
 def test_sweep_values_rejected_in_compose():
     with pytest.raises(ValueError):
         compose(CONF_DIR, overrides=["model.beta=1,2"])
+
+
+def test_sample_config_loads():
+    """sample_configs/modular_rlvae_example.yaml (reference analogue) builds
+    a real model through the factory."""
+    from pathlib import Path
+
+    import yaml
+
+    from rlvae_tpu.models.factory import create_model
+
+    path = Path(__file__).resolve().parents[1] / "sample_configs" / "modular_rlvae_example.yaml"
+    cfg = yaml.safe_load(path.read_text())
+    model = create_model(cfg["model"])
+    assert model.latent_dim == 16
+    assert model.n_flows == 5
+    assert model.encoder.__class__.__name__.lower().startswith("cnn")
