@@ -371,18 +371,7 @@ class RIEM:
         return recon.reshape(n, self.n_obs, *self.input_dim)
 
 
-class LLDM(RIEM):
-    """LLDM — latent-diffusion longitudinal VAE.
-
-    Reference: src/lib/src/pythae/models/lldm/lldm_model.py:23-1029, whose
-    import is commented out upstream for the missing external diffusion
-    dependency (pythae models/__init__.py:23-24).  Structurally it is RIEM
-    without the Riemannian metric (the reference's RIEM docstring calls
-    itself "LLDM_BIS Model with Metric Integration", riem_model.py:109-111):
-    Gaussian visit posterior, per-visit-index training, and the latent
-    temporal evolution through the (pluggable) diffusion dynamics."""
-
-    def __init__(self, *args, **kwargs):
-        kwargs["metric"] = None
-        kwargs.setdefault("use_uniform_sample", False)
-        super().__init__(*args, **kwargs)
+# NB: LLDM is no longer an alias of RIEM — it has its own full
+# reimplementation in rlvae_tpu/models/research/lldm.py (frozen latent
+# diffusion bridge, DDIM sampler, sampled observation metric, HMC
+# generation; reference lldm_model.py:23-1029).

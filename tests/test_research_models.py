@@ -450,16 +450,235 @@ def test_gugus_hmc_generation():
     assert np.isfinite(np.asarray(gen)).all()
 
 
-def test_lldm_is_metric_free_riem():
+# -- LLDM (reference lldm_model.py:23-1029; unimportable upstream — missing
+# external diffusion deps — so behavioral tests per branch, like RIEM) --------
+
+
+def _lldm(latent_dim=6, n_obs=4, **kw):
     from rlvae_tpu.models.research import LLDM
 
-    m = LLDM(input_dim=INPUT, latent_dim=8, n_obs=4, warmup=0)
-    assert m.metric is None and not m.use_uniform_sample
+    kw.setdefault("hidden_size", 16)
+    return LLDM(input_dim=INPUT, latent_dim=latent_dim, n_obs=n_obs, **kw)
+
+
+def test_lldm_sequential_diffusion_bridge():
+    """q(z_t2|z_t1) matches the DDPM bridge: mean sqrt(abar2/abar1) x, var
+    1 - abar2/abar1 (lldm_model.py:476 sequential_diffusion contract)."""
+    from rlvae_tpu.models.research import LatentDiffusion
+
+    ldm = LatentDiffusion(4)
+    abar = np.asarray(ldm.alpha_bar)
+    assert (np.diff(abar) < 0).all() and 0 < abar[-1] < abar[0] < 1
+    x = jnp.ones((4096, 4))
+    t1, t2 = 100, 700
+    out = ldm.sequential_diffusion(
+        jax.random.PRNGKey(0), x, np.full(4096, t1), np.full(4096, t2)
+    )
+    ratio = abar[t2] / abar[t1]
+    assert np.isclose(float(out.mean()), np.sqrt(ratio), atol=0.02)
+    assert np.isclose(float(out.std()), np.sqrt(1 - ratio), atol=0.02)
+
+
+def test_lldm_ddim_step_recovers_x0():
+    """With the exact noise as e_t, pred_x0 equals the clean latent and the
+    eta=0 step is the deterministic DDIM update (lldm_model.py:493-497)."""
+    from rlvae_tpu.models.research import DDIMSampler, LatentDiffusion
+
+    ldm = LatentDiffusion(4)
+    s = DDIMSampler(ldm, n_steps=5, ddim_eta=0.0)
+    x0 = jnp.asarray(np.random.default_rng(0).normal(size=(3, 4)), jnp.float32)
+    eps = jnp.asarray(np.random.default_rng(1).normal(size=(3, 4)), jnp.float32)
+    idx = 3
+    a = float(s.ddim_alpha[idx])
+    x_t = np.sqrt(a) * x0 + np.sqrt(1 - a) * eps
+    x_prev, pred_x0 = s.get_x_prev_and_pred_x0(jax.random.PRNGKey(2), eps, idx, x_t)
+    np.testing.assert_allclose(np.asarray(pred_x0), np.asarray(x0), atol=1e-5)
+    a_prev = float(s.ddim_alpha_prev[idx])
+    expect = np.sqrt(a_prev) * np.asarray(x0) + np.sqrt(1 - a_prev) * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(x_prev), expect, atol=1e-5)
+    assert float(s.ddim_sigma[idx]) == 0.0  # eta=0 -> deterministic
+
+
+def test_lldm_sampled_metric_matches_reference_formula():
+    """g_diag/log_pi reproduce the dense torch G_sampl formula: Mahalanobis
+    weights, sum of diag(M_i), +lbd I, det clamped at 1e32
+    (vae_model.py:266-279, 342-343)."""
+    from rlvae_tpu.models.research import SampledMetric
+
+    rng = np.random.default_rng(0)
+    c = rng.normal(size=(5, 3)).astype(np.float32)
+    m_flat = np.exp(rng.normal(size=(5, 3))).astype(np.float32)
+    t, lbd = 0.7, 0.01
+    metric = SampledMetric(c, m_flat, t, lbd)
+    z = rng.normal(size=(4, 3)).astype(np.float32)
+
+    # dense reference computation
+    diff = c[None, :, :] - z[:, None, :]  # [B, K, D]
+    omega = np.exp(-np.einsum("bkd,kd,bkd->bk", diff, m_flat, diff) / t**2)
+    g_dense = np.einsum("bk,kde->bde", omega, np.stack([np.diag(m) for m in m_flat])
+                        ) + lbd * np.eye(3)
+    np.testing.assert_allclose(
+        np.asarray(metric.g_diag(jnp.asarray(z))),
+        np.einsum("bdd->bd", g_dense), rtol=1e-4,
+    )
+    det = np.clip(np.linalg.det(g_dense), 0, 1e32)
+    np.testing.assert_allclose(
+        np.asarray(metric.log_pi(jnp.asarray(z))), 0.5 * np.log(det), rtol=1e-4
+    )
+
+
+def test_lldm_retrieve_g_temperature_and_std_norm():
+    """T = max over medoids of min inter-medoid distance, scaled; addStdNorm
+    appends the N(0,I) component (vae_model.py:322-341, 256-262)."""
+    from rlvae_tpu.models.research.lldm import retrieve_g
+
+    mu = np.array([[0.0, 0.0], [1.0, 0.0], [5.0, 0.0]], np.float32)
+    lv = np.zeros((3, 2), np.float32)
+    metric = retrieve_g(mu, lv, num_centroids=3, t_multiplier=2.0)
+    # medoids are the points themselves; min dists are (1, 1, 4) -> T = 4*2
+    assert np.isclose(metric.temperature, 8.0)
+    m2 = retrieve_g(mu, lv, num_centroids=3, add_std_norm=True)
+    assert m2.centroids.shape == (4, 2) and np.allclose(np.asarray(m2.m_flat[-1]), 1.0)
+
+
+def test_lldm_hmc_moves_up_volume():
+    """Plain HMC on log_pi concentrates mass where sqrt(det G) is large
+    (the hmc_sampling stand-in, lldm_model.py:636)."""
+    from rlvae_tpu.models.research import SampledMetric
+    from rlvae_tpu.models.research.lldm import hmc_sampling
+
+    metric = SampledMetric(np.zeros((1, 2), np.float32),
+                           50.0 * np.ones((1, 2), np.float32), 2.0, 0.01)
+    mu = jnp.asarray(np.random.default_rng(0).normal(scale=3.0, size=(64, 2)),
+                     jnp.float32)
+    z, lp = hmc_sampling(metric, mu, jax.random.PRNGKey(0), 32,
+                         mcmc_steps_nbr=40, eps_lf=0.05)
+    lp0 = metric.log_pi(mu[:32])
+    assert float(lp.mean()) > float(lp0.mean())
+    assert np.isfinite(np.asarray(z)).all()
+
+
+def test_lldm_warmup_and_visit_branches():
+    """Warmup epochs use the plain VAE objective (vi_index=-1); the KL is
+    active only at boundary visits and clamped to [-2, 500]
+    (lldm_model.py:145-158, 304-319)."""
+    m = _lldm(warmup=2)
     v = m.init(jax.random.PRNGKey(0))
-    out = m.forward(v, _batch(t=4), jax.random.PRNGKey(1), vi_index=1, epoch=10)
-    assert np.isfinite(float(out.loss)) and out.z_seq.shape == (2, 4, 8)
-    gen = m.generate(v, jax.random.PRNGKey(2), 2)
-    assert gen.shape == (2, 4, *INPUT)
+    x = _batch(t=4)
+    out_w = m.forward(v, x, jax.random.PRNGKey(1), epoch=0, train=True)
+    assert out_w.vi_index == -1 and np.isfinite(float(out_w.loss))
+    out_b = m.forward(v, x, jax.random.PRNGKey(1), vi_index=0, epoch=5, train=True)
+    assert -2.0 <= float(out_b.reg_loss) <= 500.0
+    out_e = m.forward(v, x, jax.random.PRNGKey(1), vi_index=3, epoch=5, train=True)
+    assert -2.0 <= float(out_e.reg_loss) <= 500.0
+    out_i = m.forward(v, x, jax.random.PRNGKey(1), vi_index=2, epoch=5, train=True)
+    assert float(out_i.reg_loss) == 0.0  # interior visit: KL gated off
+    assert out_i.z_seq.shape == (2, 4, 6)
+
+
+def test_lldm_boundary_prior_uses_metric():
+    """log_p_j_hat: N(0,I) at j=0; the sampled-metric volume log_pi at the
+    data end when a pretrained metric is attached (lldm_model.py:369-409)."""
+    from rlvae_tpu.models.research import SampledMetric
+
+    metric = SampledMetric(np.zeros((1, 6), np.float32),
+                           np.full((1, 6), 2.0, np.float32), 1.0, 0.01)
+    m = _lldm(pretrained_metric=metric)
+    v = m.init(jax.random.PRNGKey(0))
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(3, 6)), jnp.float32)
+    p0 = m.log_p_j_hat(v["params"], 0, z)
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(-0.5 * (z**2).sum(1)),
+                               rtol=1e-5)
+    p_end = m.log_p_j_hat(v["params"], m.n_obs - 1, z)
+    np.testing.assert_allclose(np.asarray(p_end), np.asarray(metric.log_pi(z)),
+                               rtol=1e-5)
+
+
+def test_lldm_iaf_posterior_and_vamp_prior():
+    """Posterior IAF (n_blocks=3, n_hidden=2, lldm_model.py:70-80) and the
+    VAMP mixture prior branch both train with finite nonzero gradients."""
+    m = _lldm(posterior="iaf", prior="vamp", vamp_number_components=4, warmup=1)
+    v = m.init(jax.random.PRNGKey(0))
+    assert "posterior_flow" in v["params"] and len(v["params"]["posterior_flow"]) == 3
+    x = _batch(t=4)
+
+    def loss(p, epoch, vi):
+        return m.forward({"params": p}, x, jax.random.PRNGKey(1), vi_index=vi,
+                         epoch=epoch, train=True).loss
+
+    for epoch, vi in ((0, None), (5, 0)):  # warmup (vae_iaf path) + boundary
+        val, g = jax.value_and_grad(loss)(v["params"], epoch, vi if vi is not None else 1)
+        assert np.isfinite(float(val))
+        flow_norm = jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.sum(jnp.abs(b))), g["posterior_flow"], 0.0
+        )
+        assert np.isfinite(flow_norm)
+
+
+def test_lldm_reconstruct_and_oversample():
+    """reconstruct bridges vi_index to the full timeline; oversample re-times
+    onto a denser DDIM ladder of length n_obs-1+num_supp_steps
+    (lldm_model.py:411-505, 507-597)."""
+    m = _lldm()
+    v = m.init(jax.random.PRNGKey(0))
+    x = _batch(b=1, t=4)[0]
+    z_seq, recon = m.reconstruct(v, x, 2, jax.random.PRNGKey(1))
+    assert z_seq.shape == (4, 6) and recon.shape == (4, *INPUT)
+    # explicit z_vi_index overrides the encoding deterministically
+    z_fix = jnp.ones((1, 6))
+    a1, _ = m.reconstruct(v, x, 2, jax.random.PRNGKey(2), z_vi_index=z_fix)
+    a2, _ = m.reconstruct(v, x, 2, jax.random.PRNGKey(2), z_vi_index=z_fix)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_allclose(np.asarray(a1[2]), np.asarray(z_fix[0]))
+    z_os, rec_os = m.oversample(v, x, 1, jax.random.PRNGKey(3), num_supp_steps=3)
+    assert z_os.shape == (6, 6) and rec_os.shape == (6, *INPUT)
+    assert np.isfinite(np.asarray(rec_os)).all()
+
+
+def test_lldm_generate_predict_nll():
+    """generate: HMC anchors on the retrieved metric -> bridged sequences;
+    freeze repeats one anchor.  predict returns the stochastic future block.
+    get_nll is finite (lldm_model.py:610-763, 765-844, 849-999)."""
+    m = _lldm(n_obs=3)
+    v = m.init(jax.random.PRNGKey(0))
+    x = _batch(b=4, t=3, seed=3)
+    rec, z_seq = m.generate(v, x, jax.random.PRNGKey(1), num_gen_seq=3,
+                            vi_index=2, num_centroids=3, mcmc_steps_nbr=5)
+    assert rec.shape == (3, 3, *INPUT) and z_seq.shape == (3, 3, 6)
+    assert np.isfinite(np.asarray(rec)).all()
+    rec_f, z_f = m.generate(v, x, jax.random.PRNGKey(2), num_gen_seq=3,
+                            vi_index=2, num_centroids=3, mcmc_steps_nbr=5,
+                            freeze=True)
+    # frozen: every sequence anchors at the same z_vi
+    np.testing.assert_allclose(np.asarray(z_f[0, 2]), np.asarray(z_f[1, 2]))
+    pred = m.predict(v, x, 1, jax.random.PRNGKey(3), num_gen_seq=2)
+    assert pred.shape == (4, 2, 1, *INPUT)
+    nll = m.get_nll(v, x[:2], 1, jax.random.PRNGKey(4), n_samples=4)
+    assert np.isfinite(nll)
+
+
+def test_lldm_pretrain_latent_diffusion_learns():
+    """The DSM pretraining loop reduces the eps-prediction error — the
+    provenance chain for the frozen pretrained_ldm (lldm_model.py:88-89)."""
+    from rlvae_tpu.models.research import LatentDiffusion, pretrain_latent_diffusion
+
+    rng = np.random.default_rng(0)
+    lat = (rng.normal(size=(512, 4)) * 0.1 + rng.integers(0, 2, (512, 1)) * 2.0
+           ).astype(np.float32)
+
+    def dsm_eval(ldm):
+        k = jax.random.PRNGKey(9)
+        z0 = jnp.asarray(lat[:256])
+        t = jnp.full((256,), 500, jnp.int32)
+        eps = jax.random.normal(k, z0.shape)
+        a = ldm.alpha_bar[t][:, None]
+        z_t = jnp.sqrt(a) * z0 + jnp.sqrt(1 - a) * eps
+        return float(jnp.mean((ldm(z_t, t.astype(jnp.float32)) - eps) ** 2))
+
+    before = dsm_eval(LatentDiffusion(4, hidden=32, key=jax.random.PRNGKey(1)))
+    ldm = pretrain_latent_diffusion(jax.random.PRNGKey(1), lat, hidden=32,
+                                    n_steps=60, batch_size=128)
+    assert dsm_eval(ldm) < before
 
 
 def test_gpvae_torch_parity(reference_available):
