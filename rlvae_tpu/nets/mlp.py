@@ -62,3 +62,48 @@ class MLPDecoder(nn.Module):
         out = nn.Dense(int(np.prod(self.input_dim)), dtype=jnp.float32, name="out")(out)
         recon = nn.sigmoid(out).reshape((z.shape[0], *self.input_dim))
         return ModelOutput(reconstruction=recon)
+
+
+class SVAEEncoderMLP(nn.Module):
+    """Hyperspherical-VAE encoder head: flatten -> 512 -> ReLU ->
+    {embedding [B, D], log_concentration [B, 1]} — the von Mises-Fisher
+    posterior parameterization (reference: pythae
+    models/nn/default_architectures.py:119-167 Encoder_SVAE_MLP)."""
+
+    input_dim: Tuple[int, ...]
+    latent_dim: int
+    hidden_dims: Sequence[int] = (512,)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> ModelOutput:
+        out = x.reshape(x.shape[0], -1).astype(self.dtype)
+        for i, h in enumerate(self.hidden_dims):
+            out = nn.Dense(h, dtype=self.dtype, name=f"hidden_{i}")(out)
+            out = nn.relu(out)
+        embedding = nn.Dense(self.latent_dim, dtype=jnp.float32, name="embedding")(out)
+        log_concentration = nn.Dense(1, dtype=jnp.float32,
+                                     name="log_concentration")(out)
+        return ModelOutput(embedding=embedding, log_concentration=log_concentration)
+
+
+class DiscriminatorMLP(nn.Module):
+    """Adversarial discriminator head: flatten -> 256 -> ReLU -> 1 ->
+    sigmoid (reference: pythae models/nn/default_architectures.py:265-331
+    Discriminator_MLP).  Intermediate activations are exposed under
+    ``embedding_layer_{i}`` like the reference's output_layer_levels."""
+
+    discriminator_input_dim: Tuple[int, ...]
+    hidden_dims: Sequence[int] = (256,)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> ModelOutput:
+        out = z.reshape(z.shape[0], -1).astype(self.dtype)
+        inter = {}
+        for i, h in enumerate(self.hidden_dims):
+            out = nn.Dense(h, dtype=self.dtype, name=f"hidden_{i}")(out)
+            out = nn.relu(out)
+            inter[f"embedding_layer_{i + 1}"] = out
+        out = nn.Dense(1, dtype=jnp.float32, name="out")(out)
+        return ModelOutput(embedding=nn.sigmoid(out), **inter)

@@ -190,3 +190,73 @@ def test_checkpoint_manager_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(mm2.variables["params"])
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_svae_encoder_and_discriminator_torch_parity(reference_available):
+    """Value parity for the two remaining default-architecture nets:
+    Encoder_SVAE_MLP (embedding + log_concentration head,
+    default_architectures.py:119-167) and Discriminator_MLP
+    (flatten -> 256 -> ReLU -> 1 -> sigmoid, :265-331), with converted
+    torch weights."""
+    if not reference_available:
+        pytest.skip("reference not mounted")
+    torch = pytest.importorskip("torch")
+    from types import SimpleNamespace
+
+    from tests.reference_utils import import_pythae
+
+    import_pythae()
+    from pythae.models.nn.default_architectures import (
+        Discriminator_MLP,
+        Encoder_SVAE_MLP,
+    )
+
+    from rlvae_tpu.nets import DiscriminatorMLP, SVAEEncoderMLP
+
+    torch.manual_seed(0)
+    rng = np.random.default_rng(0)
+
+    # -- SVAE encoder
+    args = SimpleNamespace(input_dim=(3, 8, 8), latent_dim=16)
+    enc_t = Encoder_SVAE_MLP(args)
+    enc_t.eval()
+    sd = enc_t.state_dict()
+    enc_j = SVAEEncoderMLP(input_dim=(3, 8, 8), latent_dim=16)
+    x = rng.uniform(size=(4, 3, 8, 8)).astype(np.float32)
+    v = enc_j.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = {
+        "hidden_0": {"kernel": sd["layers.0.0.weight"].numpy().T,
+                     "bias": sd["layers.0.0.bias"].numpy()},
+        "embedding": {"kernel": sd["embedding.weight"].numpy().T,
+                      "bias": sd["embedding.bias"].numpy()},
+        "log_concentration": {"kernel": sd["log_concentration.weight"].numpy().T,
+                              "bias": sd["log_concentration.bias"].numpy()},
+    }
+    out = enc_j.apply({"params": params}, jnp.asarray(x))
+    with torch.no_grad():
+        ref = enc_t(torch.as_tensor(x))
+    assert out.embedding.shape == (4, 16) and out.log_concentration.shape == (4, 1)
+    np.testing.assert_allclose(np.asarray(out.embedding), ref.embedding.numpy(),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out.log_concentration),
+                               ref.log_concentration.numpy(), atol=5e-3)
+
+    # -- discriminator
+    dargs = SimpleNamespace(discriminator_input_dim=(3, 8, 8))
+    dis_t = Discriminator_MLP(dargs)
+    dis_t.eval()
+    sd = dis_t.state_dict()
+    dis_j = DiscriminatorMLP(discriminator_input_dim=(3, 8, 8))
+    dis_j.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = {
+        "hidden_0": {"kernel": sd["layers.0.0.weight"].numpy().T,
+                     "bias": sd["layers.0.0.bias"].numpy()},
+        "out": {"kernel": sd["layers.1.0.weight"].numpy().T,
+                "bias": sd["layers.1.0.bias"].numpy()},
+    }
+    out = dis_j.apply({"params": params}, jnp.asarray(x))
+    with torch.no_grad():
+        ref = dis_t(torch.as_tensor(x))
+    assert out.embedding.shape == (4, 1)
+    np.testing.assert_allclose(np.asarray(out.embedding),
+                               ref.embedding.numpy(), atol=5e-3)
