@@ -27,6 +27,46 @@ REFERENCE_CALL_SECONDS = 0.0003  # hybrid MetricTensor G(z) batched call, B=64
 REFERENCE_BATCH = 64
 BASELINE_EVALS_PER_SEC = REFERENCE_BATCH / REFERENCE_CALL_SECONDS  # 2.133e5
 
+# --- v5e roofline constants (public spec) ----------------------------------
+# peak bf16 matmul throughput and HBM bandwidth for one v5e chip; fp32-
+# HIGHEST runs as multi-pass bf16 on the MXU (~6 passes), so the fp32
+# ceiling is modeled as peak/6.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_FP32_FLOPS = V5E_PEAK_BF16_FLOPS / 6
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+def bundle_flops_per_eval(k: int, d: int) -> float:
+    """Analytic FLOPs for one fused metric-bundle eval (G_inv + chol +
+    logdet + G): distance matmul 2KD, weight exp ~K, weighted matrix sum
+    2KD^2 (dominant), Cholesky D^3/3, triangular inversion ~2D^3."""
+    return 2 * k * d * d + 2 * k * d + k + 2.4 * d**3
+
+
+def bundle_bytes_per_eval(d: int) -> float:
+    """HBM bytes per eval: read z [D] f32; write G_inv, chol(G_inv), G
+    [D,D] f32 each + logdet scalar.  Centroids/matrices stay VMEM-resident
+    across the batch (amortized to ~0)."""
+    return 4 * (d + 3 * d * d + 1)
+
+
+def train_step_flops_per_seq(input_dim, latent, t, n_flows, flow_hid,
+                             flow_blocks, flow_hidden_layers, enc_hid=512):
+    """Analytic matmul FLOPs for ONE sequence in the flagship train step
+    (MLP nets; density-direction IAF runs D sequential MADE passes per
+    block).  Backward pass modeled as 2x forward -> total 3x."""
+    pix = int(np.prod(input_dim))
+    enc = 2 * (pix * enc_hid + enc_hid * 2 * latent)
+    dec = 2 * t * (latent * enc_hid + enc_hid * pix)
+    made_pass = 2 * (
+        latent * flow_hid
+        + (flow_hidden_layers - 1) * flow_hid * flow_hid
+        + flow_hid * 2 * latent
+    )
+    flows = made_pass * latent * flow_blocks * (t - 1)  # D sequential passes
+    fwd = enc + dec + flows
+    return 3 * fwd
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -118,11 +158,36 @@ def main():
             f"-> ours {hmc_vs_torch:.0f}x"
         )
 
+    # --- roofline / MFU model (VERDICT r2 item 10) --------------------------
+    k, d = metric.n_centroids, metric.latent_dim
+    bundle_tflops = best * bundle_flops_per_eval(k, d) / 1e12
+    bundle_hbm_ceiling = V5E_HBM_BYTES_PER_S / bundle_bytes_per_eval(d)
+    bundle_pct_hbm = 100.0 * best / bundle_hbm_ceiling
+    bundle_pct_fp32 = 100.0 * bundle_tflops * 1e12 / V5E_PEAK_FP32_FLOPS
+    log(
+        f"roofline: bundle {bundle_tflops:.2f} TFLOP/s "
+        f"({bundle_pct_fp32:.1f}% of v5e fp32-HIGHEST peak, "
+        f"{bundle_pct_hbm:.1f}% of the {bundle_hbm_ceiling:.2e} evals/s "
+        f"HBM-write ceiling)"
+    )
+    step_flops = 64 * train_step_flops_per_seq((3, 64, 64), 16, 8, 8, 256, 2, 3)
+    step_tflops = step_flops / (train_ms / 1e3) / 1e12
+    step_mfu = 100.0 * step_tflops * 1e12 / V5E_PEAK_BF16_FLOPS
+    log(
+        f"roofline: flagship step {step_tflops:.2f} TFLOP/s model "
+        f"({step_mfu:.2f}% MFU of v5e bf16 peak; the density-direction IAF "
+        f"scan serializes D MADE passes/transition — see docs/ROADMAP.md)"
+    )
+
     result = {
         "metric": "batched G(z) bundle evals/sec (K=200, D=16, best batch)",
         "value": round(best, 1),
         "unit": "evals/s",
         "vs_baseline": round(best / BASELINE_EVALS_PER_SEC, 2),
+        "bundle_tflops": round(bundle_tflops, 2),
+        "bundle_pct_hbm_roofline": round(bundle_pct_hbm, 1),
+        "train_step_tflops_model": round(step_tflops, 2),
+        "train_step_mfu_bf16_pct": round(step_mfu, 2),
         "hmc_steps_per_sec_reference_shape": round(hmc_rate, 1),
         "hmc_seconds_per_official_prior_run": round(t_ref, 4),
         "train_step_ms_b64_flagship": round(train_ms, 2),

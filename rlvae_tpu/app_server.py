@@ -13,7 +13,8 @@ Capabilities matched:
   behavior, experiment_runner.py:32,394),
 - model inference: reconstructions + prior generations from any trained run
   through the jitted ModelManager,
-- latent exploration: PCA scatter with decoded hover images,
+- latent exploration: PCA or dependency-free t-SNE scatter with decoded
+  hover images (utils/tsne.py; UMAP is uninstallable here),
 - model comparison: final metrics table across runs,
 - visualization gallery: artifacts written by the viz suite, served inline.
 """
@@ -243,11 +244,13 @@ API('/api/runs').then(runs => {
 API('/api/runs').then(runs => {
   const opts = runs.filter(r => r.has_checkpoint).map(r => `<option>${r.name}</option>`).join('');
   app.innerHTML = `<h2>Latent exploration</h2><select id="run">${opts}</select>
+  <select id="method"><option value="pca">PCA</option><option value="tsne">t-SNE</option></select>
   <button id="go">Explore</button>
   <div style="display:flex;gap:20px"><svg id="plot" width="600" height="520" style="border:1px solid #aaa"></svg>
   <div><img id="img" class="frame" style="width:160px;height:160px"><p id="info"></p></div></div>`;
   document.getElementById('go').onclick = () =>
-    API('/api/model/' + document.getElementById('run').value + '/latents').then(d => {
+    API('/api/model/' + document.getElementById('run').value + '/latents?method=' +
+        document.getElementById('method').value).then(d => {
       const svg = document.getElementById('plot'); svg.innerHTML = '';
       const xs = d.points.map(p => p.x), ys = d.points.map(p => p.y);
       const xmin = Math.min(...xs), xmax = Math.max(...xs), ymin = Math.min(...ys), ymax = Math.max(...ys);
@@ -392,9 +395,17 @@ def make_handler(state: AppState):
                 z = mm.embed_sequence(x, seed=seed)  # [B, T, D]
                 recon = mm.reconstruct(x, seed=seed)
                 flat = z.reshape(-1, z.shape[-1]).astype(np.float64)
-                mean = flat.mean(0)
-                _, _, vt = np.linalg.svd(flat - mean, full_matrices=False)
-                proj = (flat - mean) @ vt[:2].T
+                method = q.get("method", ["pca"])[0]
+                if method == "tsne":
+                    # dependency-free t-SNE (reference page offers
+                    # PCA/t-SNE/UMAP; umap-learn is uninstallable here)
+                    from rlvae_tpu.utils.tsne import tsne
+
+                    proj = tsne(flat, perplexity=8.0, n_iter=300, seed=seed)
+                else:
+                    mean = flat.mean(0)
+                    _, _, vt = np.linalg.svd(flat - mean, full_matrices=False)
+                    proj = (flat - mean) @ vt[:2].T
                 points = []
                 for i in range(z.shape[0]):
                     for t in range(z.shape[1]):

@@ -68,6 +68,10 @@ class TemporalFlowConfig:
         """Fused Pallas density pass on TPU (auto), or forced via backend."""
         if self.direction != "density":
             return False
+        if self.n_hidden < 2:
+            # the fused kernels stack the [1, n_hidden) inner-layer weights;
+            # a single-hidden-layer MADE has none -> XLA path
+            return False
         if self.backend == "pallas":
             return True
         return self.backend == "auto" and jax.default_backend() == "tpu"

@@ -1,0 +1,310 @@
+#!/usr/bin/env python
+"""Flagship-shape side-by-side training: torch reference vs rlvae_tpu.
+
+Round-2 VERDICT item 1: every riemannian-posterior flagship run shows
+exploding latents (norm 1e10-1e13) and the claim "this is a property of the
+model family" was only proven at toy shape with a deterministic posterior.
+This script runs the REAL shape — T=8 frames, 8 IAF flows, 64x64 images,
+latent 16, riemannian_metric posterior with the pretrained metric
+(T0.7_scaled, temperature_override=3.0, riemannian_beta=8.0), 20 epochs,
+batch 4, 100 sequences, STOCHASTIC posterior on both sides — and records
+per-epoch trajectories of every loss component plus latent_norm (mean ||z0||
+and mean ||z_T||) and mean log10 det G(z0), for the torch reference
+(src/models/riemannian_flow_vae.py:788-1246, trained per
+src/training/lightning_trainer.py:77-131) and for our RlVAE.
+
+Both sides start from the SAME weights: the repo's pretrained encoder/decoder
+npz artifacts (converted into torch with transposed kernels) and one
+torch-seeded flow stack (transferred into ours via the shared test helper).
+Noise is NOT matched step-for-step — at exploding magnitudes chaotic
+divergence makes per-step matching meaningless — so the comparison is
+statistics-level (the VERDICT-sanctioned alternative): log-scale trajectory
+bands.
+
+Writes outputs/curve_parity_flagship/{curves.json, overlay.png, summary.json}.
+tests/test_curve_parity_flagship.py validates the committed artifact.
+
+Usage:
+    JAX_PLATFORMS=cpu python scripts/curve_parity_flagship.py [--epochs 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+INPUT_DIM = (3, 64, 64)
+LATENT = 16
+N_FLOWS = 8
+FLOW_HID = 256
+FLOW_BLOCKS = 2
+# the reference passes flow_n_hidden=1 but pythae's IAFConfig silently drops
+# it (n_hidden_in_made=3 effective) — models/factory.py:54-57 reproduces that
+FLOW_HIDDEN_LAYERS = 3
+T = 8
+RIEM_BETA = 8.0
+TEMP_OVERRIDE = 3.0
+LR = 1e-3
+METRIC_PT = "/root/reference/data/pretrained/metric_T0.7_scaled.pt"
+METRIC_NPZ = ROOT / "data" / "pretrained" / "metric_T0.7_scaled.npz"
+COMPONENTS = ("loss", "recon_loss", "kld_loss", "flow_loss")
+TRACKED = COMPONENTS + ("latent_norm", "latent_last_norm", "log10_det_g")
+
+
+def _load_npz_params(path):
+    raw = np.load(path)
+    out = {}
+    for k, v in raw.items():
+        parts = k.split("/")[1:]  # drop leading "params"
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = v
+    return out
+
+
+def build_torch(epochs, data, orders, batch):
+    import torch
+
+    from tests.reference_utils import import_reference_src
+
+    import_reference_src()
+    from src.models.riemannian_flow_vae import RiemannianFlowVAE
+
+    torch.manual_seed(0)
+    ref = RiemannianFlowVAE(
+        input_dim=INPUT_DIM, latent_dim=LATENT, n_flows=N_FLOWS,
+        flow_hidden_size=FLOW_HID, flow_n_blocks=FLOW_BLOCKS,
+        flow_n_hidden=1,  # pythae's IAFConfig drops this (effective 3)
+        posterior_type="riemannian_metric", riemannian_beta=RIEM_BETA,
+    )
+    ref.load_pretrained_metrics(METRIC_PT, temperature_override=TEMP_OVERRIDE)
+
+    # transplant the repo's pretrained encoder/decoder (flax npz -> torch)
+    enc = _load_npz_params(ROOT / "data" / "pretrained" / "encoder.npz")
+    dec = _load_npz_params(ROOT / "data" / "pretrained" / "decoder.npz")
+    with torch.no_grad():
+        ref.encoder.layers[0][0].weight.copy_(torch.as_tensor(enc["hidden_0"]["kernel"].T))
+        ref.encoder.layers[0][0].bias.copy_(torch.as_tensor(enc["hidden_0"]["bias"]))
+        ref.encoder.embedding.weight.copy_(torch.as_tensor(enc["embedding"]["kernel"].T))
+        ref.encoder.embedding.bias.copy_(torch.as_tensor(enc["embedding"]["bias"]))
+        ref.encoder.log_var.weight.copy_(torch.as_tensor(enc["log_var"]["kernel"].T))
+        ref.encoder.log_var.bias.copy_(torch.as_tensor(enc["log_var"]["bias"]))
+        ref.decoder.layers[0][0].weight.copy_(torch.as_tensor(dec["hidden_0"]["kernel"].T))
+        ref.decoder.layers[0][0].bias.copy_(torch.as_tensor(dec["hidden_0"]["bias"]))
+        ref.decoder.layers[1][0].weight.copy_(torch.as_tensor(dec["out"]["kernel"].T))
+        ref.decoder.layers[1][0].bias.copy_(torch.as_tensor(dec["out"]["bias"]))
+    ref.train()
+    torch.manual_seed(1234)  # stochastic posterior stream
+
+    opt = torch.optim.Adam(ref.parameters(), lr=LR)
+    hist = {c: [] for c in TRACKED}
+    n_seq = data.shape[0]
+    t0 = time.time()
+    for e in range(epochs):
+        vals = {c: [] for c in TRACKED}
+        for b in range(n_seq // batch):
+            xb = torch.as_tensor(data[orders[e][b * batch:(b + 1) * batch]])
+            opt.zero_grad()
+            out = ref(xb)
+            out.loss.backward()
+            opt.step()
+            with torch.no_grad():
+                z = out.z  # [B, T, D]
+                z0, zt = z[:, 0], z[:, -1]
+                for c in COMPONENTS:
+                    vals[c].append(float(getattr(out, c).detach()))
+                vals["latent_norm"].append(float(z0.norm(dim=-1).mean()))
+                vals["latent_last_norm"].append(float(zt.norm(dim=-1).mean()))
+                g = ref.G(z0.float())
+                vals["log10_det_g"].append(float(torch.logdet(g).mean() / np.log(10.0)))
+        for c in TRACKED:
+            hist[c].append(float(np.mean(vals[c])))
+        print(f"[torch] epoch {e}: loss={hist['loss'][-1]:.4g} "
+              f"|z0|={hist['latent_norm'][-1]:.4g} "
+              f"|zT|={hist['latent_last_norm'][-1]:.4g} "
+              f"log10detG={hist['log10_det_g'][-1]:.3g} "
+              f"({time.time() - t0:.0f}s)", file=sys.stderr)
+    return hist
+
+
+def build_jax(epochs, data, orders, batch):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from rlvae_tpu.geometry import metric as gm
+    from rlvae_tpu.models import RlVAE
+
+    ours = RlVAE(
+        input_dim=INPUT_DIM, latent_dim=LATENT, n_flows=N_FLOWS,
+        flow_hidden_size=FLOW_HID, flow_n_blocks=FLOW_BLOCKS,
+        flow_n_hidden=FLOW_HIDDEN_LAYERS,
+        posterior_type="riemannian_metric", riemannian_beta=RIEM_BETA,
+        encoder_config={"dtype": "float32"}, decoder_config={"dtype": "float32"},
+    )
+    ours.load_pretrained_metric(str(METRIC_NPZ), temperature_override=TEMP_OVERRIDE)
+    variables = ours.init(jax.random.PRNGKey(0), n_obs=T)
+    variables = ours.load_pretrained_components(
+        variables,
+        encoder_path=ROOT / "data" / "pretrained" / "encoder.npz",
+        decoder_path=ROOT / "data" / "pretrained" / "decoder.npz",
+    )
+    # same flow init as torch: transfer the torch-seeded flow stack
+    import torch
+
+    from tests.reference_utils import import_reference_src
+
+    import_reference_src()
+    from src.models.riemannian_flow_vae import RiemannianFlowVAE
+    from tests.test_flows import _torch_iaf_to_params
+
+    torch.manual_seed(0)
+    ref0 = RiemannianFlowVAE(
+        input_dim=INPUT_DIM, latent_dim=LATENT, n_flows=N_FLOWS,
+        flow_hidden_size=FLOW_HID, flow_n_blocks=FLOW_BLOCKS,
+        flow_n_hidden=1,  # pythae's IAFConfig drops this (effective 3)
+        posterior_type="riemannian_metric", riemannian_beta=RIEM_BETA,
+    )
+    params = dict(variables["params"])
+    params["flows"] = [_torch_iaf_to_params(f) for f in ref0.flow_manager.flows]
+    variables = {**variables, "params": params}
+    del ref0
+
+    optimizer = optax.adam(LR)
+    opt_state = optimizer.init(variables["params"])
+    metric = ours.metric
+
+    @jax.jit
+    def train_step(params, opt_state, xb, key):
+        def loss_fn(p):
+            out = ours.forward({"params": p, "stats": {}}, xb, key, train=True)
+            return out.loss, out
+
+        (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        z0, zt = out.z[:, 0], out.z[:, -1]
+        stats = {
+            **{c: out[c] for c in COMPONENTS},
+            "latent_norm": jnp.linalg.norm(z0, axis=-1).mean(),
+            "latent_last_norm": jnp.linalg.norm(zt, axis=-1).mean(),
+            "log10_det_g": gm.logdet_g(metric, z0).mean() / np.log(10.0),
+        }
+        return optax.apply_updates(params, updates), opt_state2, stats
+
+    params = variables["params"]
+    hist = {c: [] for c in TRACKED}
+    n_seq = data.shape[0]
+    t0 = time.time()
+    for e in range(epochs):
+        vals = {c: [] for c in TRACKED}
+        for b in range(n_seq // batch):
+            xb = jnp.asarray(data[orders[e][b * batch:(b + 1) * batch]])
+            key = jax.random.fold_in(jax.random.PRNGKey(4321), e * 1000 + b)
+            params, opt_state, stats = train_step(params, opt_state, xb, key)
+            fetched = jax.device_get(stats)
+            for c in TRACKED:
+                vals[c].append(float(fetched[c]))
+        for c in TRACKED:
+            hist[c].append(float(np.mean(vals[c])))
+        print(f"[jax]   epoch {e}: loss={hist['loss'][-1]:.4g} "
+              f"|z0|={hist['latent_norm'][-1]:.4g} "
+              f"|zT|={hist['latent_last_norm'][-1]:.4g} "
+              f"log10detG={hist['log10_det_g'][-1]:.3g} "
+              f"({time.time() - t0:.0f}s)", file=sys.stderr)
+    return hist
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--n-seq", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--out", default=str(ROOT / "outputs" / "curve_parity_flagship"))
+    ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--skip-jax", action="store_true")
+    args = ap.parse_args(argv)
+
+    from rlvae_tpu.data.synth import generate_cyclic_sequences
+
+    data = generate_cyclic_sequences(
+        args.n_seq, n_obs=T, image_size=INPUT_DIM[1:], seed=7
+    ).astype(np.float32)
+    orders = [np.random.default_rng(100 + e).permutation(args.n_seq)
+              for e in range(args.epochs)]
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    curves = {}
+    if (out_dir / "curves.json").exists():
+        curves = json.loads((out_dir / "curves.json").read_text())
+
+    if not args.skip_torch:
+        curves["reference"] = build_torch(args.epochs, data, orders, args.batch)
+        (out_dir / "curves.json").write_text(json.dumps(curves, indent=2))
+    if not args.skip_jax:
+        curves["ours"] = build_jax(args.epochs, data, orders, args.batch)
+        (out_dir / "curves.json").write_text(json.dumps(curves, indent=2))
+
+    if "reference" in curves and "ours" in curves:
+        ref, ours = curves["reference"], curves["ours"]
+        summary = {
+            "epochs": args.epochs,
+            "shape": {"T": T, "n_flows": N_FLOWS, "input": INPUT_DIM,
+                      "latent": LATENT, "n_seq": args.n_seq, "batch": args.batch},
+            "final_log10_latent_last_norm": {
+                "reference": float(np.log10(max(ref["latent_last_norm"][-1], 1e-30))),
+                "ours": float(np.log10(max(ours["latent_last_norm"][-1], 1e-30))),
+            },
+            "max_log10_latent_last_norm": {
+                "reference": float(np.log10(max(max(ref["latent_last_norm"]), 1e-30))),
+                "ours": float(np.log10(max(max(ours["latent_last_norm"]), 1e-30))),
+            },
+            "final_log10_det_g": {
+                "reference": ref["log10_det_g"][-1],
+                "ours": ours["log10_det_g"][-1],
+            },
+            "reference_explodes": max(ref["latent_last_norm"]) > 1e6,
+            "ours_explodes": max(ours["latent_last_norm"]) > 1e6,
+        }
+        (out_dir / "summary.json").write_text(json.dumps(summary, indent=2))
+        print(json.dumps(summary))
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        panels = ("loss", "flow_loss", "latent_norm", "latent_last_norm",
+                  "log10_det_g")
+        fig, axes = plt.subplots(1, len(panels), figsize=(4 * len(panels), 3.2))
+        ep = np.arange(args.epochs)
+        for ax, c in zip(axes, panels):
+            for name, h, style in (("torch reference", ref, "o-"),
+                                   ("rlvae_tpu", ours, "s--")):
+                y = np.asarray(h[c], np.float64)
+                if c in ("latent_norm", "latent_last_norm", "loss", "flow_loss"):
+                    ax.set_yscale("symlog")
+                ax.plot(ep[: len(y)], y, style, label=name, ms=3)
+            ax.set_title(c)
+            ax.set_xlabel("epoch")
+        axes[0].legend()
+        fig.suptitle(
+            f"Flagship shape (T={T}, {N_FLOWS} flows, 64x64, stochastic "
+            f"riemannian posterior), identical init weights"
+        )
+        fig.tight_layout()
+        fig.savefig(out_dir / "overlay.png", dpi=110)
+        print(f"wrote {out_dir}/overlay.png", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -70,3 +70,31 @@ def test_metrics_logger(tmp_path):
     assert rec["loss"] == 1.5 and rec["_step"] == 3
     assert json.loads((tmp_path / "tbl.json").read_text())[0]["model"] == "a"
     assert json.loads((tmp_path / "summary.json").read_text())["best"] == 0.5
+
+
+def test_tsne_separates_clusters():
+    """Dependency-free t-SNE (utils/tsne.py): two well-separated Gaussian
+    clusters in 16-D stay separated in the 2-D embedding (the reference
+    app's latent-exploration t-SNE option)."""
+    import numpy as np
+
+    from rlvae_tpu.utils.tsne import tsne
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(20, 16)) * 0.1
+    b = rng.normal(size=(20, 16)) * 0.1 + 4.0
+    y = tsne(np.concatenate([a, b]), perplexity=8.0, n_iter=250, seed=1)
+    assert y.shape == (40, 2) and np.isfinite(y).all()
+    ca, cb = y[:20].mean(0), y[20:].mean(0)
+    spread = max(y[:20].std(), y[20:].std())
+    assert np.linalg.norm(ca - cb) > 2.0 * spread
+
+
+def test_tsne_degenerate_inputs():
+    import numpy as np
+
+    from rlvae_tpu.utils.tsne import tsne
+
+    assert tsne(np.zeros((2, 4))).shape == (2, 2)  # n <= n_components
+    y = tsne(np.ones((8, 4)), n_iter=50)  # all-identical points: finite
+    assert np.isfinite(y).all()
