@@ -319,12 +319,10 @@ class Trainer:
         )
         if n_dev > 1 and int(getattr(self.data, "batch_size", 0)) % n_dev != 0:
             self.epoch_jit = False  # uneven shards; per-step loop drops remainders
-        if jax.process_count() > 1:
-            # multi-host staging would need per-process array assembly
-            # (jax.make_array_from_process_local_data) plus per-host perm
-            # slicing; the per-step loop already handles multi-host via
-            # per-host batches + psum, so epoch-jit stays single-process
-            self.epoch_jit = False
+        # multi-host runs use the same sharded epoch path: each process
+        # stages its local rows with jax.make_array_from_process_local_data
+        # and every host computes the identical seeded permutation
+        # (parallel/multihost.py) — no gate on jax.process_count()
         if not self.epoch_jit:
             self._epoch_fn = None
         elif n_dev == 1:
@@ -516,39 +514,36 @@ class Trainer:
             perm = jnp.asarray(perm.reshape(n, bs).astype(np.int32))
         else:
             # shard-local shuffle: each device owns a contiguous dataset
-            # shard and permutes only local indices (make_epoch_fn_sharded)
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            # shard and permutes only local indices (make_epoch_fn_sharded).
+            # Works on any process count: each process stages only its own
+            # rows; all hosts compute the identical seeded permutation
+            # (parallel/multihost.py).
+            from rlvae_tpu.parallel.multihost import (
+                epoch_perm,
+                stage_dataset,
+                usable_local_rows,
+            )
 
-            from rlvae_tpu.parallel.mesh import DATA_AXIS
-
+            pc = jax.process_count()
             local_bs = bs // self.n_devices
-            n_local = len(self.data.train) // self.n_devices
-            n = min(n, n_local // local_bs)
+            local_len = len(self.data.train)  # this process's rows
+            n_shard = (local_len * pc) // self.n_devices  # rows per device
+            n = min(n, (n_shard * self.n_devices) // bs)
             if self._device_data is None:
-                # stage ONCE with a seeded GLOBAL permutation so contiguous
-                # device shards are random subsets, not file order (a
-                # class-/subject-ordered dataset would otherwise pin one
-                # class per device for the whole run); per-epoch shuffles
-                # are then shard-local (shard-then-shuffle, as distributed
-                # input pipelines do)
-                usable = n_local * self.n_devices
-                gperm = np.random.default_rng(self.seed).permutation(
-                    len(self.data.train)
-                )[:usable]
-                self._device_data = jax.device_put(
-                    jnp.asarray(self.data.train.data[gperm]),
-                    NamedSharding(self.mesh, P(DATA_AXIS)),
-                )
-            perm = np.stack(
-                [
-                    rng.permutation(n_local)[: n * local_bs].reshape(n, local_bs)
-                    for _ in range(self.n_devices)
-                ],
-                axis=1,
-            )  # [steps, n_dev, local_bs], local indices
-            perm = jax.device_put(
-                jnp.asarray(perm.astype(np.int32)),
-                NamedSharding(self.mesh, P(None, DATA_AXIS, None)),
+                usable = usable_local_rows(self.mesh, local_len)
+                local_rows = np.asarray(self.data.train.data[:usable])
+                if pc == 1:
+                    # seeded GLOBAL permutation at staging so contiguous
+                    # device shards are random subsets, not file order (a
+                    # class-ordered dataset would otherwise pin one class
+                    # per device); multi-host rows are already
+                    # process-strided by the data module (data/cyclic.py)
+                    gperm = np.random.default_rng(self.seed).permutation(usable)
+                    local_rows = local_rows[gperm]
+                self._device_data = stage_dataset(self.mesh, local_rows)
+            perm = epoch_perm(
+                self.mesh, self.seed, epoch, n, local_bs,
+                self._device_data.shape[0] // self.n_devices,
             )
         variables, opt_state, stacked = self._epoch_fn(
             variables, opt_state, self._device_data, perm, key

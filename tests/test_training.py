@@ -274,3 +274,64 @@ def test_dp_tp_hybrid_loss_and_grad_parity():
         jax.tree_util.tree_leaves(v1["params"]), jax.tree_util.tree_leaves(v2["params"])
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2.5e-3)
+
+
+def test_multihost_staging_parity_8_devices():
+    """The multi-host staging path (parallel/multihost.py:
+    make_array_from_process_local_data + host-replicated seeded perms) must
+    train bit-for-bit identically to the old device_put staging — the swap
+    that un-gated epoch-jit from process_count==1 changes layout plumbing,
+    not math."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rlvae_tpu.parallel.multihost import (
+        epoch_perm,
+        stage_dataset,
+        usable_local_rows,
+    )
+    from rlvae_tpu.train import make_epoch_fn_sharded
+
+    mesh = create_mesh()
+    n_dev, n_local, local_bs, steps = 8, 4, 2, 2
+    model = RlVAE(
+        input_dim=(3, 8, 8), latent_dim=8, n_flows=0,
+        posterior_type="gaussian", sampling_method="standard", use_riemannian=False,
+    )
+    init = model.init(jax.random.PRNGKey(0), n_obs=4)
+    optimizer = make_optimizer(1e-3)
+    epoch_fn = make_epoch_fn_sharded(model, optimizer, mesh)
+    rows = np.random.default_rng(1).uniform(
+        size=(n_dev * n_local, 4, 3, 8, 8)
+    ).astype(np.float32)
+    assert usable_local_rows(mesh, len(rows)) == len(rows)
+
+    # reference numpy perm identical to epoch_perm's (seed+epoch rng, one
+    # permutation per device column)
+    rng = np.random.default_rng(7 + 0)
+    perm_np = np.stack(
+        [rng.permutation(n_local)[: steps * local_bs].reshape(steps, local_bs)
+         for _ in range(n_dev)], axis=1,
+    ).astype(np.int32)
+
+    def run(data, perm):
+        variables = replicate(mesh, jax.tree_util.tree_map(jnp.copy, init))
+        opt_state = replicate(mesh, optimizer.init(variables["params"]))
+        variables, opt_state, m = epoch_fn(
+            variables, opt_state, data, perm, jax.random.PRNGKey(3)
+        )
+        return jax.device_get(variables["params"]), jax.device_get(m["loss"])
+
+    p_old, l_old = run(
+        jax.device_put(jnp.asarray(rows), NamedSharding(mesh, P("data"))),
+        jax.device_put(jnp.asarray(perm_np), NamedSharding(mesh, P(None, "data", None))),
+    )
+    p_new, l_new = run(
+        stage_dataset(mesh, rows),
+        epoch_perm(mesh, seed=7, epoch=0, n_steps=steps,
+                   local_bs=local_bs, shard_len=n_local),
+    )
+    np.testing.assert_array_equal(l_old, l_new)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p_old, p_new)
+    # determinism across "hosts": same seed -> identical global perm content
+    a = np.asarray(epoch_perm(mesh, 7, 0, steps, local_bs, n_local))
+    np.testing.assert_array_equal(a, perm_np)
