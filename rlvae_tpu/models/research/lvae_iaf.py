@@ -117,6 +117,13 @@ class LVAE_IAF:
         ) - jnp.log(float(c))
         return jax.scipy.special.logsumexp(comp, axis=1)
 
+    def sample_visit_latent(
+        self, params, key: Array, mu: Array, log_var: Array, vi_index: int
+    ) -> Array:
+        """Visit-posterior sample; overridable (LVAE_GUGUS's lvaegA variant
+        replaces the visit-0 draw with manifold HMC)."""
+        return mu + jax.random.normal(key, mu.shape) * jnp.exp(0.5 * log_var)
+
     def propagate(self, params, z_vi: Array, vi_index: int):
         """Latent sequence from the visit latent: density-direction flows to
         the past (accumulating log|det J|), sampling direction to the future
@@ -175,7 +182,7 @@ class LVAE_IAF:
         k_s, _ = jax.random.split(key)
         enc = self.encoder.apply({"params": params["encoder"]}, x[:, vi_index])
         mu, log_var = enc.embedding, enc.log_covariance
-        z = mu + jax.random.normal(k_s, mu.shape) * jnp.exp(0.5 * log_var)
+        z = self.sample_visit_latent(params, k_s, mu, log_var, vi_index)
         z0_vi = z
         log_det_post = jnp.zeros(b, jnp.float32)
         if self.posterior == "iaf":

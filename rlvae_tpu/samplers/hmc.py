@@ -70,8 +70,14 @@ def sample_prior_hmc(
     key: Array,
     num_samples: int,
     config: HMCConfig = HMCConfig(),
+    return_diagnostics: bool = False,
 ) -> Array:
-    """HMC chain targeting pi(z) ~ sqrt(det G^{-1}(z))."""
+    """HMC chain targeting pi(z) ~ sqrt(det G^{-1}(z)).
+
+    With ``return_diagnostics`` also returns {"accept_rate": mean accept
+    prob over the run, "log_pi": final per-chain log sqrt det G^{-1}} —
+    the chain statistics the generation-parity artifact compares against
+    the torch sampler (pythae rhvae_sampler.py:98-148)."""
     terms = _terms_fn(metric, config.backend)
     d = metric.latent_dim
     beta_zero_sqrt = jnp.sqrt(jnp.asarray(config.beta_zero, jnp.float32))
@@ -120,13 +126,17 @@ def sample_prior_hmc(
         z_new = jnp.where(mask, z, z0_s)
         logpi_new = jnp.where(accept, logpi, logpi0_s)
         g_new = jnp.where(mask, g, g0_s)
-        return (z_new, logpi_new, g_new, beta_sqrt_old), None
+        return (z_new, logpi_new, g_new, beta_sqrt_old), jnp.mean(
+            accept.astype(jnp.float32)
+        )
 
     logpi0, grad0 = terms(z0)
     keys = jax.random.split(k_chain, config.mcmc_steps)
-    (z, _, _, _), _ = jax.lax.scan(
+    (z, logpi_final, _, _), accept_rates = jax.lax.scan(
         mcmc_step, (z0, logpi0, -grad0, beta_zero_sqrt), keys
     )
+    if return_diagnostics:
+        return z, {"accept_rate": jnp.mean(accept_rates), "log_pi": logpi_final}
     return z
 
 
