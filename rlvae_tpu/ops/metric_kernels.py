@@ -64,6 +64,35 @@ def _weights_slab(z_ref, c_ref, inv_t2, d: int, k_real: int, k_pad: int, tb: int
     return w
 
 
+def _weights_slab_mxu(
+    z_ref, c_ref, c2_ref, mean_ref, inv_t2, d: int, k_real: int, k_pad: int, tb: int
+):
+    """MXU distance expansion in CENTROID-CENTERED coordinates
+    (VERDICT r2 item 8): with m = mean(centroids), c~ = c - m, z~ = z - m,
+    d2 = |c~|^2 - 2 c~.z~ + |z~|^2 rides one [K, D] @ [D, TB] matmul instead
+    of the D-step elementwise loop.  Centering is the compensation: the
+    cancellation error of the raw expansion scales with |z|^2 (~2e-5 weight
+    error on the real artifacts — rejected in round 2); in centered
+    coordinates it scales with the centroid SPREAD squared, which is what
+    d2 itself measures, restoring fp32-level relative accuracy.  c~ and
+    |c~|^2 are precomputed at trace time (_prep)."""
+    zt = z_ref[...] - mean_ref[...]  # [D, TB]
+    cz = jax.lax.dot_general(
+        c_ref[...],  # centered centroids [D, K_pad]
+        zt,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [K_pad, TB]
+    z2 = jnp.sum(zt * zt, axis=0, keepdims=True)  # [1, TB]
+    d2 = jnp.maximum(c2_ref[...] - 2.0 * cz + z2, 0.0)
+    w = jnp.exp(-d2 * inv_t2)
+    if k_pad != k_real:
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (k_pad, tb), 0)
+        w = jnp.where(k_idx < k_real, w, 0.0)
+    return w
+
+
 def _gi_cols(m_ref, w, lbd, d: int, tb: int):
     """G^{-1} column slabs from the MXU matmul [D^2, K] @ [K, TB] + lbd I."""
     gi_flat = jax.lax.dot_general(
@@ -139,10 +168,15 @@ def _g_inv_kernel(scal_ref, z_ref, c_ref, m_ref, out_ref, *, d, k_real, k_pad, t
 
 
 def _bundle_kernel(
-    scal_ref, z_ref, c_ref, m_ref, gi_ref, l_ref, ld_ref, g_ref, *, d, k_real, k_pad, tb
+    scal_ref, z_ref, c_ref, m_ref, cc_ref, c2_ref, mean_ref,
+    gi_ref, l_ref, ld_ref, g_ref, *, d, k_real, k_pad, tb, mxu_dist
 ):
     inv_t2, lbd = scal_ref[0, 0], scal_ref[0, 1]
-    w = _weights_slab(z_ref, c_ref, inv_t2, d, k_real, k_pad, tb)
+    if mxu_dist:
+        w = _weights_slab_mxu(z_ref, cc_ref, c2_ref, mean_ref, inv_t2,
+                              d, k_real, k_pad, tb)
+    else:
+        w = _weights_slab(z_ref, c_ref, inv_t2, d, k_real, k_pad, tb)
     gi_cols = _gi_cols(m_ref, w, lbd, d, tb)
     gi_ref[...] = _stack_cols(gi_cols).T
 
@@ -255,21 +289,34 @@ def g_inv_pallas(
     return out[:b].reshape(b, d, d)  # j-major == i-major: G^{-1} is symmetric
 
 
-@functools.partial(jax.jit, static_argnames=("tb", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tb", "interpret", "mxu_dist"))
 def metric_bundle_pallas(
-    metric: CentroidMetric, z: jax.Array, tb: int | None = None, interpret: bool | None = None
+    metric: CentroidMetric, z: jax.Array, tb: int | None = None,
+    interpret: bool | None = None, mxu_dist: bool = False,
 ) -> ModelOutput:
-    """Fused (G^{-1}, chol(G^{-1}), logdet G^{-1}, G) in one kernel."""
+    """Fused (G^{-1}, chol(G^{-1}), logdet G^{-1}, G) in one kernel.
+
+    ``mxu_dist=True`` routes the distance computation through the centered
+    MXU expansion (_weights_slab_mxu) — pass it EXPLICITLY in A/B runs so
+    each arm compiles its own program (static arg; see the trace-time A/B
+    trap in CLAUDE.md)."""
     b, d, k, k_pad, tb, b_pad, z_t, c_t, m_t = _prep(metric, z, tb)
+    mean_t = jnp.mean(metric.centroids, axis=0).astype(jnp.float32).reshape(d, 1)
+    cc_t = c_t - mean_t  # centered (padded columns masked in-kernel)
+    c2_t = jnp.sum(cc_t * cc_t, axis=0).reshape(k_pad, 1)
     interp = (not _on_tpu()) if interpret is None else interpret
     gi, l_jm, ld, gm = pl.pallas_call(
-        functools.partial(_bundle_kernel, d=d, k_real=k, k_pad=k_pad, tb=tb),
+        functools.partial(_bundle_kernel, d=d, k_real=k, k_pad=k_pad, tb=tb,
+                          mxu_dist=mxu_dist),
         grid=(b_pad // tb,),
         in_specs=[
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((d, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tb, d * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -284,7 +331,7 @@ def metric_bundle_pallas(
             jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
         ],
         interpret=interp,
-    )(_scalars(metric), z_t, c_t, m_t)
+    )(_scalars(metric), z_t, c_t, m_t, cc_t, c2_t, mean_t)
     chol = jnp.swapaxes(l_jm[:b].reshape(b, d, d), -1, -2)  # j-major -> lower-tri
     return ModelOutput(
         g_inv=gi[:b].reshape(b, d, d),

@@ -53,6 +53,7 @@ def test_comparison_cli(tmp_path):
     assert (tmp_path / "vanilla_vae" / "checkpoints" / "best").exists()
 
 
+@pytest.mark.slow
 def test_sweep_cli(tmp_path):
     _run(
         tmp_path,

@@ -174,6 +174,7 @@ def test_parity_vs_reference_closures(metric_and_z, torch_reference, reference_a
     np.testing.assert_allclose(grad_ours, grad_ref, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_gaussian_curvature_flat_metric():
     """An identity (flat) metric has zero curvature; a real centroid metric
     is curved near its centroids."""

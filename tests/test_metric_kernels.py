@@ -134,3 +134,25 @@ def test_fused_hot_path_values_and_grads(metric_and_z):
     gx = jax.grad(loss_x, argnums=(0, 1))(metric, zj)
     for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gx)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_bundle_mxu_distance_arm_parity():
+    """The centered-MXU distance expansion (mxu_dist=True, VERDICT r2 item
+    8) must match the exact difference-form arm within fp32 cancellation
+    noise — centering shrinks the expansion's error scale from |z|^2 to the
+    centroid spread (ops/metric_kernels._weights_slab_mxu)."""
+    metric = load_metric(DATA / "metric.npz")
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, metric.n_centroids, size=128)
+    z = jnp.asarray(
+        np.asarray(metric.centroids)[idx] + 0.1 * rng.normal(size=(128, 16)),
+        jnp.float32,
+    )
+    a = metric_bundle_pallas(metric, z, mxu_dist=False)
+    b = metric_bundle_pallas(metric, z, mxu_dist=True)
+    scale = float(np.abs(np.asarray(a.g_inv)).max())
+    assert np.abs(np.asarray(a.g_inv) - np.asarray(b.g_inv)).max() / scale < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(a.logdet_g_inv), np.asarray(b.logdet_g_inv), atol=2e-4
+    )
+    np.testing.assert_allclose(np.asarray(a.g), np.asarray(b.g), atol=1e-4)

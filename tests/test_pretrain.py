@@ -26,6 +26,7 @@ def tiny_rhvae():
     return RHVAE(input_dim=(3, 4, 4), latent_dim=4, n_lf=2, eps_lf=1e-3)
 
 
+@pytest.mark.slow
 def test_forward_finite(tiny_rhvae):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(size=(4, 3, 4, 4)), jnp.float32)

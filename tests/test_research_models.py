@@ -594,6 +594,7 @@ def test_lldm_boundary_prior_uses_metric():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_lldm_iaf_posterior_and_vamp_prior():
     """Posterior IAF (n_blocks=3, n_hidden=2, lldm_model.py:70-80) and the
     VAMP mixture prior branch both train with finite nonzero gradients."""
@@ -635,6 +636,7 @@ def test_lldm_reconstruct_and_oversample():
     assert np.isfinite(np.asarray(rec_os)).all()
 
 
+@pytest.mark.slow
 def test_lldm_generate_predict_nll():
     """generate: HMC anchors on the retrieved metric -> bridged sequences;
     freeze repeats one anchor.  predict returns the stochastic future block.
@@ -657,6 +659,7 @@ def test_lldm_generate_predict_nll():
     assert np.isfinite(nll)
 
 
+@pytest.mark.slow
 def test_lldm_pretrain_latent_diffusion_learns():
     """The DSM pretraining loop reduces the eps-prediction error — the
     provenance chain for the frozen pretrained_ldm (lldm_model.py:88-89)."""
@@ -758,6 +761,7 @@ def test_gpvae_torch_parity(reference_available):
     np.testing.assert_allclose(kld_o, kld_t, rtol=2e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_lvae_iaf_estimate_nll():
     """Importance NLL (reference lvae_iaf_model.py:900-1040): finite,
     per-sequence, and improving (in expectation) with more samples."""

@@ -56,6 +56,7 @@ def test_basic_suite(setup):
             "cyclicity_analysis.png", "reconstruction_analysis.png"} <= names
 
 
+@pytest.mark.slow
 def test_manifold_suite(setup):
     from rlvae_tpu.viz.manifold import ManifoldVisualizations
 
@@ -66,6 +67,7 @@ def test_manifold_suite(setup):
             "enhanced_heatmaps.png", "temporal_metric_analysis.png"} <= names
 
 
+@pytest.mark.slow
 def test_interactive_suite(setup):
     from rlvae_tpu.viz.interactive import InteractiveVisualizations
 
