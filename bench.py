@@ -50,7 +50,7 @@ def bundle_bytes_per_eval(d: int) -> float:
     return 4 * (d + 3 * d * d + 1)
 
 
-def train_step_flops_per_seq(input_dim, latent, t, n_flows, flow_hid,
+def train_step_flops_per_seq(input_dim, latent, t, flow_hid,
                              flow_blocks, flow_hidden_layers, enc_hid=512):
     """Analytic matmul FLOPs for ONE sequence in the flagship train step
     (MLP nets; density-direction IAF runs D sequential MADE passes per
@@ -170,7 +170,8 @@ def main():
         f"{bundle_pct_hbm:.1f}% of the {bundle_hbm_ceiling:.2e} evals/s "
         f"HBM-write ceiling)"
     )
-    step_flops = 64 * train_step_flops_per_seq((3, 64, 64), 16, 8, 8, 256, 2, 3)
+    # t-1 = 7 flow transitions regardless of n_flows (last flow reused)
+    step_flops = 64 * train_step_flops_per_seq((3, 64, 64), 16, 8, 256, 2, 3)
     step_tflops = step_flops / (train_ms / 1e3) / 1e12
     step_mfu = 100.0 * step_tflops * 1e12 / V5E_PEAK_BF16_FLOPS
     log(

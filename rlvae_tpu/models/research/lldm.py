@@ -429,8 +429,13 @@ class LLDM:
         self.ldm = pretrained_ldm or LatentDiffusion(latent_dim)
         self.ddim_sampler = ddim_sampler or DDIMSampler(self.ldm, n_steps=n_obs,
                                                         ddim_eta=1.0)
-        if len(self.ddim_sampler.time_steps) < n_obs:
-            raise ValueError("ddim_sampler must cover at least n_obs steps")
+        if len(self.ddim_sampler.time_steps) != n_obs:
+            raise ValueError(
+                f"ddim_sampler must define exactly n_obs={n_obs} time steps "
+                f"(got {len(self.ddim_sampler.time_steps)}): the sequence "
+                "axis IS the diffusion timeline (lldm_model.py:63); for a "
+                "denser timeline use oversample()"
+            )
         # descending: index 0 = most noised (lldm_model.py:63)
         self.diff_t_steps = np.flip(np.asarray(self.ddim_sampler.time_steps)).copy()
 
@@ -576,9 +581,15 @@ class LLDM:
 
     # -- losses -------------------------------------------------------------------
 
-    def _recon_term(self, recon_flat: Array, x_flat: Array, pix_flat: Array) -> Array:
+    def _recon_term(self, recon_flat: Array, x_flat: Array, pix_flat: Array,
+                    half: bool = True) -> Array:
+        """Masked per-sample reconstruction.  ``half`` applies the 0.5 MSE
+        factor of the warmup losses (lldm_model.py:164-166); the
+        sequence-level loss_function uses PLAIN mse (lldm_model.py:271-279),
+        so it passes half=False.  BCE carries no factor in either."""
         if self.reconstruction_loss == "mse":
-            return jnp.sum(0.5 * (recon_flat - x_flat) ** 2 * pix_flat, axis=-1)
+            scale = 0.5 if half else 1.0
+            return jnp.sum(scale * (recon_flat - x_flat) ** 2 * pix_flat, axis=-1)
         r = jnp.clip(recon_flat, 1e-7, 1.0 - 1e-7)
         bce = -(x_flat * jnp.log(r) + (1.0 - x_flat) * jnp.log(1.0 - r))
         return jnp.sum(bce * pix_flat, axis=-1)
@@ -660,7 +671,7 @@ class LLDM:
         pix_mask = jnp.ones_like(x) if pix_mask is None else pix_mask
         recon = self._recon_term(
             recon_x.reshape(b * t, -1), x.reshape(b * t, -1),
-            pix_mask.reshape(b * t, -1),
+            pix_mask.reshape(b * t, -1), half=False,
         ).reshape(b, t)
         recon_loss = jnp.mean(recon * seq_mask, axis=-1)
 
@@ -730,6 +741,13 @@ class LLDM:
             params, recon, x, mu, log_var, z_0_vi, z_seq, vi_index, z_vi,
             log_det, epoch, seq_mask, pix_mask, train,
         )
+        if not isinstance(loss, jax.core.Tracer):
+            # per-visit running tallies (lldm_model.py:99-103); eager calls
+            # only — inside jit the values are tracers
+            tally = self.res_dict[vi_index]
+            tally["rec_loss"] += float(recon_loss)
+            tally["reg_loss"] += float(kld)
+            tally["count"] += 1
         return ModelOutput(
             loss=loss, reconstruction_loss=recon_loss, reg_loss=kld,
             recon_x=recon, z=z_vi, z_seq=z_seq, vi_index=vi_index,
@@ -947,6 +965,9 @@ class LLDM:
         logsumexp the per-frame decoder likelihoods (the reference's final
         estimator keeps only log p(x|z), lldm_model.py:985-994)."""
         params = variables["params"]
+        # remainder importance samples are dropped exactly as the reference
+        # does (lldm_model.py:861-865: n_samples > batch_size keeps only
+        # n_samples // batch_size full batches)
         n_full_batch = max(1, n_samples // batch_size) if n_samples > batch_size else 1
         bs = min(n_samples, batch_size)
         dim_prod = float(np.prod(self.input_dim))

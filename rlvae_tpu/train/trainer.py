@@ -526,20 +526,29 @@ class Trainer:
 
             pc = jax.process_count()
             local_bs = bs // self.n_devices
-            local_len = len(self.data.train)  # this process's rows
+            # the data module truncates every host's shard to the same
+            # length (data/cyclic.py: per_host = N // process_count), so
+            # global quantities derived from local_len * pc agree on every
+            # host — a requirement for identical compiled epoch shapes
+            local_len = len(self.data.train)
             n_shard = (local_len * pc) // self.n_devices  # rows per device
-            n = min(n, (n_shard * self.n_devices) // bs)
+            # steps per epoch from GLOBAL row/batch counts (local
+            # steps_per_epoch() divides local rows by the GLOBAL batch size
+            # and would shrink the epoch pc-fold on multi-host)
+            n = (n_shard * self.n_devices) // bs
             if self._device_data is None:
                 usable = usable_local_rows(self.mesh, local_len)
                 local_rows = np.asarray(self.data.train.data[:usable])
-                if pc == 1:
-                    # seeded GLOBAL permutation at staging so contiguous
-                    # device shards are random subsets, not file order (a
-                    # class-ordered dataset would otherwise pin one class
-                    # per device); multi-host rows are already
-                    # process-strided by the data module (data/cyclic.py)
-                    gperm = np.random.default_rng(self.seed).permutation(usable)
-                    local_rows = local_rows[gperm]
+                # seeded LOCAL permutation at staging so contiguous device
+                # shards are random subsets, not file order (a class-ordered
+                # dataset would otherwise pin one class per device for the
+                # whole run — process-strided loading keeps within-host
+                # order).  Per-process seed; no cross-host consistency is
+                # needed since rows never migrate between hosts.
+                gperm = np.random.default_rng(
+                    self.seed + jax.process_index()
+                ).permutation(usable)
+                local_rows = local_rows[gperm]
                 self._device_data = stage_dataset(self.mesh, local_rows)
             perm = epoch_perm(
                 self.mesh, self.seed, epoch, n, local_bs,
