@@ -61,3 +61,31 @@ class TorchMetricModel:
 
         self.G = create_metric(self)
         self.G_inv = create_inverse_metric(self)
+
+
+def import_reference_lldm():
+    """Import the reference's LLDM module (pythae.models.lldm.lldm_model) by
+    stubbing its three unvendored external dependencies
+    (lldm_model.py:19-21: diffusion.stable_diffusion.latent_diffusion,
+    ...sampler.ddim, geometric_perspective_on_vaes.sampling).  The stubs are
+    import-time placeholders only — parity tests construct LLDM with mock
+    frozen components and exercise the loss/prior math, which touches none
+    of them."""
+    import_pythae()
+    for name in (
+        "diffusion",
+        "diffusion.stable_diffusion",
+        "diffusion.stable_diffusion.latent_diffusion",
+        "diffusion.stable_diffusion.sampler",
+        "diffusion.stable_diffusion.sampler.ddim",
+        "geometric_perspective_on_vaes",
+        "geometric_perspective_on_vaes.sampling",
+    ):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["diffusion.stable_diffusion.latent_diffusion"].MyLatentDiffusion = object
+    sys.modules["diffusion.stable_diffusion.sampler.ddim"].DDIMSampler = object
+    sys.modules["geometric_perspective_on_vaes.sampling"].hmc_sampling = None
+    import importlib
+
+    return importlib.import_module("pythae.models.lldm.lldm_model")

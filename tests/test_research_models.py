@@ -927,3 +927,175 @@ def test_gugus_variant_lvaega2_weight_norm_and_metric_mode():
     assert not np.allclose(g_push[0], m.g_list[1], atol=1e-4)
     diag = m.compare_metrics(v, data, t=1)
     assert np.isfinite(diag["frobenius_rel"]) and diag["frobenius_rel"] >= 0
+
+
+# -- LLDM direct torch parity (round 3: the reference LLDM imports once its
+# three unvendored externals are stubbed — tests/reference_utils.py
+# import_reference_lldm; parity runs the loss/prior math, which touches no
+# stubbed component) ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def torch_lldm(reference_available):
+    if not reference_available:
+        pytest.skip("reference not mounted")
+    torch = pytest.importorskip("torch")
+    import numpy as _np
+
+    from tests.reference_utils import import_pythae, import_reference_lldm
+
+    mod = import_reference_lldm()
+    import_pythae()
+    from pythae.models import VAE, VAEConfig
+    from pythae.models.lvae_iaf.lvae_iaf_config import LVAE_IAF_Config
+
+    class MockLDM(torch.nn.Module):
+        device = torch.device("cpu")
+
+    class MockDDIM:
+        def __init__(self, n):
+            self.time_steps = _np.arange(0, 1000, 1000 // n)[:n]
+
+    torch.manual_seed(0)
+    cfg = LVAE_IAF_Config(
+        input_dim=INPUT, latent_dim=6, n_obs_per_ind=4, warmup=0, beta=1.5,
+        linear_scheduling_steps=0, prior="standard", posterior="gaussian",
+        context_dim=None, reconstruction_loss="mse",
+    )
+    pre_vae = VAE(VAEConfig(input_dim=INPUT, latent_dim=6))
+    ref = mod.LLDM(
+        model_config=cfg, encoder=None, decoder=None, pretrained_vae=pre_vae,
+        pretrained_ldm=MockLDM(), ddim_sampler=MockDDIM(4),
+    )
+    ref.train()
+    return ref, pre_vae
+
+
+def _lldm_loss_inputs(seed=0, b=3, t=4, d=6):
+    rng = np.random.default_rng(seed)
+    return dict(
+        recon_x=rng.uniform(size=(b, t, *INPUT)).astype(np.float32),
+        x=rng.uniform(size=(b, t, *INPUT)).astype(np.float32),
+        mu=rng.normal(size=(b, d)).astype(np.float32),
+        log_var=rng.normal(scale=0.3, size=(b, d)).astype(np.float32),
+        z0_vi=rng.normal(size=(b, d)).astype(np.float32),
+        z_seq=rng.normal(size=(b, t, d)).astype(np.float32),
+        z_vi=rng.normal(size=(b, d)).astype(np.float32),
+        log_det=rng.normal(scale=0.1, size=(b,)).astype(np.float32),
+    )
+
+
+def test_lldm_sequence_loss_torch_parity(torch_lldm):
+    """Direct numerical parity of the sequence-level per-visit loss
+    (lldm_model.py:266-329) for a boundary visit with the metric prior, the
+    j=0 boundary, and an interior visit, with identical inputs."""
+    import torch
+
+    ref, pre_vae = torch_lldm
+    inp = _lldm_loss_inputs()
+    b, t, d = 3, 4, 6
+
+    # attach the SAME sampled observation metric on both sides
+    rng = np.random.default_rng(5)
+    c_mu = rng.normal(size=(8, d)).astype(np.float32)
+    c_lv = rng.normal(scale=0.3, size=(8, d)).astype(np.float32)
+    pre_vae.build_metrics(torch.as_tensor(c_mu), torch.as_tensor(c_lv),
+                          T=0.9, lbd=0.01)
+    from rlvae_tpu.models.research import SampledMetric
+
+    ours = _lldm(latent_dim=d, n_obs=t, beta=1.5,
+                 pretrained_metric=SampledMetric(c_mu, np.exp(-c_lv), 0.9, 0.01))
+    v = ours.init(jax.random.PRNGKey(0))
+
+    tt = {k: torch.as_tensor(val) for k, val in inp.items()}
+    seq_mask = torch.ones(b, t)
+    pix_mask = torch.ones(b * t, int(np.prod(INPUT)))
+    for vi in (0, t - 1, 2):
+        ref_loss, ref_rec, ref_kld = ref.loss_function(
+            tt["recon_x"], tt["x"], tt["mu"], tt["log_var"], tt["z0_vi"],
+            tt["z_seq"], vi, tt["z_vi"], tt["log_det"], epoch=7,
+            seq_mask=seq_mask, pix_mask=pix_mask,
+        )
+        our_loss, our_rec, our_kld = ours.loss_function(
+            v["params"], jnp.asarray(inp["recon_x"]), jnp.asarray(inp["x"]),
+            jnp.asarray(inp["mu"]), jnp.asarray(inp["log_var"]),
+            jnp.asarray(inp["z0_vi"]), jnp.asarray(inp["z_seq"]), vi,
+            jnp.asarray(inp["z_vi"]), jnp.asarray(inp["log_det"]), epoch=7,
+            train=True,
+        )
+        for name, a, r in (("loss", our_loss, ref_loss),
+                           ("recon", our_rec, ref_rec),
+                           ("kld", our_kld, ref_kld)):
+            a, r = float(a), float(r.detach())
+            assert abs(a - r) / (abs(r) + 1e-3) < 1e-4, (
+                f"vi={vi} {name}: ours={a} ref={r}"
+            )
+
+
+def test_lldm_warmup_losses_torch_parity(torch_lldm):
+    """_vae_loss_function and _vae_iaf_loss_function parity with identical
+    inputs (lldm_model.py:160-217)."""
+    import torch
+
+    ref, _ = torch_lldm
+    b, d = 12, 6
+    rng = np.random.default_rng(1)
+    x = rng.uniform(size=(b, *INPUT)).astype(np.float32)
+    recon = rng.uniform(size=(b, *INPUT)).astype(np.float32)
+    mu = rng.normal(size=(b, d)).astype(np.float32)
+    lv = rng.normal(scale=0.3, size=(b, d)).astype(np.float32)
+    z0 = rng.normal(size=(b, d)).astype(np.float32)
+    zk = rng.normal(size=(b, d)).astype(np.float32)
+    ld = rng.normal(scale=0.1, size=(b,)).astype(np.float32)
+    seq_mask = torch.ones(b)
+    pix_mask = torch.ones(b, int(np.prod(INPUT)))
+
+    ours = _lldm(latent_dim=d, n_obs=4)
+    v = ours.init(jax.random.PRNGKey(0))
+
+    r = ref._vae_loss_function(torch.as_tensor(recon), torch.as_tensor(x),
+                               torch.as_tensor(mu), torch.as_tensor(lv),
+                               torch.as_tensor(z0), seq_mask, pix_mask)
+    o = ours._vae_loss_function(jnp.asarray(recon), jnp.asarray(x),
+                                jnp.asarray(mu), jnp.asarray(lv),
+                                jnp.asarray(z0))
+    for a, b_ in zip(o, r):
+        assert abs(float(a) - float(b_.detach())) / (abs(float(b_)) + 1e-3) < 1e-4
+
+    r = ref._vae_iaf_loss_function(
+        torch.as_tensor(recon), torch.as_tensor(x), torch.as_tensor(mu),
+        torch.as_tensor(lv), torch.as_tensor(z0), torch.as_tensor(zk),
+        torch.as_tensor(ld), 3, seq_mask, pix_mask,
+    )
+    o = ours._vae_iaf_loss_function(
+        v["params"], jnp.asarray(recon), jnp.asarray(x), jnp.asarray(mu),
+        jnp.asarray(lv), jnp.asarray(z0), jnp.asarray(zk), jnp.asarray(ld), 3,
+    )
+    for a, b_ in zip(o, r):
+        assert abs(float(a) - float(b_.detach())) / (abs(float(b_)) + 1e-3) < 1e-4
+
+
+def test_lldm_sampled_metric_matches_real_torch_closure(torch_lldm):
+    """SampledMetric.log_pi vs the ACTUAL pythae VAE.build_metrics G_sampl /
+    log_pi closures (vae_model.py:266-343) — the real code, not a dense
+    re-derivation."""
+    import torch
+
+    _, pre_vae = torch_lldm
+    d = 6
+    rng = np.random.default_rng(2)
+    c_mu = rng.normal(size=(10, d)).astype(np.float32)
+    c_lv = rng.normal(scale=0.4, size=(10, d)).astype(np.float32)
+    pre_vae.build_metrics(torch.as_tensor(c_mu), torch.as_tensor(c_lv),
+                          T=0.7, lbd=0.01)
+    from rlvae_tpu.models.research import SampledMetric
+
+    metric = SampledMetric(c_mu, np.exp(-c_lv), 0.7, 0.01)
+    z = rng.normal(size=(16, d)).astype(np.float32)
+    with torch.no_grad():
+        ref_logpi = pre_vae.log_pi(torch.as_tensor(z)).numpy()
+        ref_g = pre_vae.G_sampl(torch.as_tensor(z)).numpy()
+    np.testing.assert_allclose(np.asarray(metric.log_pi(jnp.asarray(z))),
+                               ref_logpi, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(metric.g(jnp.asarray(z))), ref_g,
+                               rtol=2e-4, atol=1e-6)
