@@ -262,32 +262,54 @@ class RIEM:
             {"params": params["decoder"]}, z_seq.reshape(b * t, self.latent_dim)
         ).reconstruction
 
+        loss, recon_mean, kl_mean = self.loss_function(
+            recon, x, mu, log_var, z0, z_seq, vi_index, z, log_det, epoch,
+            seq_mask, pix_mask, train,
+        )
+        return ModelOutput(
+            loss=loss,
+            reconstruction_loss=recon_mean,
+            reg_loss=kl_mean,
+            recon_x=recon.reshape(x.shape),
+            z=z,
+            z_seq=z_seq,
+            vi_index=vi_index,
+        )
+
+    def loss_function(
+        self, recon_x, x, mu, log_var, z_0_vi_index, z_seq, vi_index,
+        z_vi_index, log_abs_det_jac_posterior, epoch,
+        seq_mask=None, pix_mask=None, train: bool = False,
+    ):
+        """The per-visit sequence loss (riem_model.py:494-589): 0.5*MSE
+        per-frame reconstruction averaged over the sequence + the
+        boundary-gated, [-2, 500]-clamped KL against log_p_j_hat, with beta
+        scheduling.  Returns (loss, mean recon, mean KL)."""
+        b, t = x.shape[0], x.shape[1]
+        pix_mask = jnp.ones_like(x) if pix_mask is None else pix_mask
         recon_pf = self._recon_per_frame(
-            recon.reshape(b * t, -1),
+            recon_x.reshape(b * t, -1),
             x.reshape(b * t, -1),
             pix_mask.reshape(b * t, -1),
         )
         recon_per_sample = recon_pf.reshape(b, t).mean(axis=1)
         # KL active only at boundary visits (riem_model.py:566-576)
         log_prob_z = (
-            jnp.sum(-0.5 * (log_var + (z0 - mu) ** 2 / (jnp.exp(log_var) + 1e-7)), axis=1)
-            - log_det
+            jnp.sum(
+                -0.5 * (log_var + (z_0_vi_index - mu) ** 2 / (jnp.exp(log_var) + 1e-7)),
+                axis=1,
+            )
+            - log_abs_det_jac_posterior
         )
         if vi_index in (0, self.n_obs - 1):
-            kl = jnp.clip(log_prob_z - self.log_p_j_hat(z, vi_index), -2.0, 500.0)
+            kl = jnp.clip(
+                log_prob_z - self.log_p_j_hat(z_vi_index, vi_index), -2.0, 500.0
+            )
         else:
             kl = jnp.zeros_like(log_prob_z)
         beta = self._beta(epoch, train)
         loss = jnp.mean(recon_per_sample + beta * kl)
-        return ModelOutput(
-            loss=loss,
-            reconstruction_loss=jnp.mean(recon_pf),
-            reg_loss=jnp.mean(kl),
-            recon_x=recon.reshape(x.shape),
-            z=z,
-            z_seq=z_seq,
-            vi_index=vi_index,
-        )
+        return loss, jnp.mean(recon_pf), jnp.mean(kl)
 
     __call__ = forward
 

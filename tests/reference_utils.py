@@ -63,6 +63,21 @@ class TorchMetricModel:
         self.G_inv = create_inverse_metric(self)
 
 
+def import_reference_research(module: str):
+    """Import one of the reference's 'unimportable' research-model modules
+    (riem.riem_model, lvae_gugus.lvaeg_model, ...) by stubbing the three
+    unvendored external deps — same treatment as import_reference_lldm.
+    riem_model additionally imports through the `lib.src.pythae` namespace
+    alias, which resolves once /root/reference/src is on sys.path."""
+    import importlib
+
+    import_reference_lldm()  # installs the diffusion/geometric stubs
+    src_root = f"{REFERENCE_ROOT}/src"
+    if module.startswith("riem") and src_root not in sys.path:
+        sys.path.insert(0, src_root)
+    return importlib.import_module(f"pythae.models.{module}")
+
+
 def import_reference_lldm():
     """Import the reference's LLDM module (pythae.models.lldm.lldm_model) by
     stubbing its three unvendored external dependencies

@@ -1099,3 +1099,220 @@ def test_lldm_sampled_metric_matches_real_torch_closure(torch_lldm):
                                ref_logpi, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(metric.g(jnp.asarray(z))), ref_g,
                                rtol=2e-4, atol=1e-6)
+
+
+# -- RIEM / GUGUS direct torch parity (round 3: stubbed-import of the
+# reference modules, tests/reference_utils.import_reference_research) --------
+
+
+def test_riem_module_math_torch_parity(reference_available):
+    """compute_metric/compute_G (riem_model.py:26-55) vs our CentroidMetric
+    closures on shared parameters, plus the chol(G)-based sampling transform
+    with a shared gamma."""
+    if not reference_available:
+        pytest.skip("reference not mounted")
+    torch = pytest.importorskip("torch")
+
+    from tests.reference_utils import import_reference_research
+
+    mod = import_reference_research("riem.riem_model")
+    from rlvae_tpu.geometry import metric as gm
+    from rlvae_tpu.geometry.metric import CentroidMetric
+
+    rng = np.random.default_rng(0)
+    d, k = 6, 5
+    c = rng.normal(size=(k, d)).astype(np.float32)
+    a = rng.normal(size=(k, d, d)).astype(np.float32)
+    m_tens = (a @ a.transpose(0, 2, 1) + 0.5 * np.eye(d)).astype(np.float32)
+    t_, lbd = 1.3, 0.01
+    metric = CentroidMetric.create(c, m_tens, temperature=t_, regularization=lbd)
+    z = rng.normal(size=(7, d)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_gi = mod.compute_metric(torch.as_tensor(z), torch.as_tensor(c),
+                                    torch.as_tensor(m_tens), lbd, t_).numpy()
+        ref_g = mod.compute_G(torch.as_tensor(z), torch.as_tensor(c),
+                              torch.as_tensor(m_tens), lbd, t_).numpy()
+    np.testing.assert_allclose(np.asarray(gm.g_inv(metric, jnp.asarray(z))),
+                               ref_gi, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gm.g(metric, jnp.asarray(z))),
+                               ref_g, rtol=2e-3, atol=1e-4)
+    # sampling transform z + chol(G) @ (gamma / beta0) with SHARED gamma
+    gamma = rng.normal(size=(7, d)).astype(np.float32)
+    beta0 = 2.0
+    with torch.no_grad():
+        l_ref = torch.linalg.cholesky(torch.as_tensor(ref_g))
+        ref_s = (torch.as_tensor(z) + (l_ref @ (torch.as_tensor(gamma) / beta0
+                 ).unsqueeze(-1)).squeeze(-1)).numpy()
+    l_ours = gm.chol_g(metric, jnp.asarray(z))
+    ours_s = np.asarray(jnp.asarray(z) + jnp.einsum(
+        "bij,bj->bi", l_ours, jnp.asarray(gamma) / beta0))
+    np.testing.assert_allclose(ours_s, ref_s, rtol=2e-3, atol=2e-4)
+
+
+def test_riem_loss_torch_parity(reference_available):
+    """Direct parity of RIEM.loss_function (riem_model.py:494-589) incl. the
+    metric-volume boundary prior log_p_j_hat, with identical inputs."""
+    if not reference_available:
+        pytest.skip("reference not mounted")
+    torch = pytest.importorskip("torch")
+    from types import SimpleNamespace
+
+    import numpy as _np
+
+    from tests.reference_utils import import_pythae, import_reference_research
+
+    mod = import_reference_research("riem.riem_model")
+    import_pythae()
+    from pythae.models import VAE, VAEConfig
+    from pythae.models.lvae_iaf.lvae_iaf_config import LVAE_IAF_Config
+
+    from rlvae_tpu.geometry.metric import CentroidMetric
+    from rlvae_tpu.models.research import RIEM
+
+    class MockLDM(torch.nn.Module):
+        device = torch.device("cpu")
+
+    class MockDDIM:
+        def __init__(self, n):
+            self.time_steps = _np.arange(0, 1000, 1000 // n)[:n]
+
+    d, t = 6, 4
+    rng = np.random.default_rng(3)
+    c = rng.normal(size=(5, d)).astype(np.float32)
+    a = rng.normal(size=(5, d, d)).astype(np.float32)
+    m_tens = (a @ a.transpose(0, 2, 1) + 0.5 * np.eye(d)).astype(np.float32)
+    temp, lbd = 1.1, 0.01
+
+    torch.manual_seed(0)
+    cfg = LVAE_IAF_Config(
+        input_dim=INPUT, latent_dim=d, n_obs_per_ind=t, warmup=0, beta=2.0,
+        linear_scheduling_steps=0, prior="standard", posterior="gaussian",
+        context_dim=None, reconstruction_loss="mse",
+    )
+    gm_mock = SimpleNamespace(centroids=torch.as_tensor(c),
+                              M_tens=torch.as_tensor(m_tens), lbd=lbd)
+    ref = mod.RIEM(
+        model_config=cfg, encoder=None, decoder=None,
+        pretrained_vae=VAE(VAEConfig(input_dim=INPUT, latent_dim=d)),
+        pretrained_ldm=MockLDM(), ddim_sampler=MockDDIM(t),
+        GM=gm_mock, temp=temp,
+    )
+    ref.train()
+
+    ours = RIEM(
+        input_dim=INPUT, latent_dim=d, n_obs=t, warmup=0, beta=2.0,
+        metric=CentroidMetric.create(c, m_tens, temperature=temp,
+                                     regularization=lbd),
+    )
+
+    b = 3
+    inp = dict(
+        recon_x=rng.uniform(size=(b * t, *INPUT)).astype(np.float32),
+        x=rng.uniform(size=(b, t, *INPUT)).astype(np.float32),
+        mu=rng.normal(size=(b, d)).astype(np.float32),
+        log_var=rng.normal(scale=0.3, size=(b, d)).astype(np.float32),
+        z0_vi=rng.normal(size=(b, d)).astype(np.float32),
+        z_seq=rng.normal(size=(b, t, d)).astype(np.float32),
+        z_vi=rng.normal(size=(b, d)).astype(np.float32),
+        log_det=rng.normal(scale=0.1, size=(b,)).astype(np.float32),
+    )
+    tt = {k: torch.as_tensor(v) for k, v in inp.items()}
+    for vi in (0, t - 1, 1):
+        ref_out = ref.loss_function(
+            tt["recon_x"], tt["x"], tt["mu"], tt["log_var"], tt["z0_vi"],
+            tt["z_seq"], vi, tt["z_vi"], tt["log_det"], epoch=4,
+        )
+        our_out = ours.loss_function(
+            jnp.asarray(inp["recon_x"]), jnp.asarray(inp["x"]),
+            jnp.asarray(inp["mu"]), jnp.asarray(inp["log_var"]),
+            jnp.asarray(inp["z0_vi"]), jnp.asarray(inp["z_seq"]), vi,
+            jnp.asarray(inp["z_vi"]), jnp.asarray(inp["log_det"]), epoch=4,
+            train=True,
+        )
+        for name, o, r in zip(("loss", "recon", "kl"), our_out, ref_out):
+            o, r = float(o), float(r.detach())
+            assert abs(o - r) / (abs(r) + 1e-3) < 2e-4, (
+                f"vi={vi} {name}: ours={o} ref={r}"
+            )
+
+
+@pytest.fixture(scope="module")
+def torch_gugus(reference_available):
+    if not reference_available:
+        pytest.skip("reference not mounted")
+    torch = pytest.importorskip("torch")
+
+    from tests.reference_utils import import_reference_research
+
+    mod = import_reference_research("lvae_gugus.lvaeg2_model")
+    from pythae.models.lvae_gugus.lvae_gugus_config import LVAE_GUGUS_Config
+
+    torch.manual_seed(0)
+    cfg = LVAE_GUGUS_Config(
+        input_dim=INPUT, latent_dim=6, n_obs_per_ind=3, warmup=0,
+        linear_scheduling_steps=0, prior="standard", posterior="gaussian",
+        context_dim=None, reconstruction_loss="mse", hidden_size=16,
+        n_made_blocks=2, n_hidden_in_made=3,
+    )
+    ref = mod.LVAE_GUGUS(model_config=cfg)
+    ref.train()
+    return ref
+
+
+def test_gugus_push_metric_torch_parity(torch_gugus):
+    """Metric pushforward through a flow: our vmap(jacfwd) push_metric vs
+    the reference's per-sample autograd loop (lvaeg2_model.py:770-794), with
+    transferred flow weights."""
+    import torch
+
+    from tests.test_flows import _torch_iaf_to_params
+
+    from rlvae_tpu.models.research import LVAE_GUGUS
+
+    ref = torch_gugus
+    ours = LVAE_GUGUS(input_dim=INPUT, latent_dim=6, n_obs=3, warmup=0,
+                      hidden_size=16, n_made_blocks=2, n_hidden_in_made=3)
+    v = ours.init(jax.random.PRNGKey(0))
+    params = dict(v["params"])
+    params["flows"] = [_torch_iaf_to_params(f) for f in ref.flows]
+
+    rng = np.random.default_rng(1)
+    z = rng.normal(size=(4, 6)).astype(np.float32)
+    g0 = np.eye(6, dtype=np.float32) * 1.5
+    z_ref, g_ref = ref._push_metric(
+        torch.as_tensor(z), torch.as_tensor(g0)[None].expand(4, -1, -1),
+        ref.flows[0].inverse,
+    )
+    z_ours, g_ours = ours.push_metric(params, jnp.asarray(z),
+                                      jnp.asarray(g0), 0, direction="inverse")
+    np.testing.assert_allclose(np.asarray(z_ours), z_ref.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_ours), g_ref.numpy(),
+                               rtol=5e-3, atol=1e-4)
+
+
+def test_gugus_gaussian_metric_prior_torch_parity(torch_gugus):
+    """The lvaeg/lvaeg2 full metric-Gaussian prior _log_p_z(z, t=0)
+    (lvaeg_model.py _log_p_z) vs our variant='lvaeg' log_p_z on the same
+    G0."""
+    import torch
+
+    ref = torch_gugus
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(6, 6)).astype(np.float32)
+    g0 = (a @ a.T + 0.5 * np.eye(6)).astype(np.float32)
+    ref.G0 = torch.as_tensor(g0)[None]
+
+    from rlvae_tpu.models.research import LVAE_GUGUS
+
+    ours = LVAE_GUGUS(input_dim=INPUT, latent_dim=6, n_obs=3, warmup=0,
+                      hidden_size=16, variant="lvaeg", use_riemann_prior=True)
+    v = ours.init(jax.random.PRNGKey(0))
+    ours.gm_list, ours.g_list = [np.zeros((1, 6), np.float32)], [g0]
+
+    z = rng.normal(size=(5, 6)).astype(np.float32)
+    with torch.no_grad():
+        ref_lp = ref._log_p_z(torch.as_tensor(z), t=0).numpy()
+    our_lp = np.asarray(ours.log_p_z(v["params"], jnp.asarray(z)))
+    np.testing.assert_allclose(our_lp, ref_lp, rtol=1e-4, atol=1e-4)
