@@ -212,6 +212,18 @@ def test_trainer_epoch_jit_multidevice(tmp_path):
     result = trainer.fit()
     assert result["epochs_run"] == 2
     assert np.isfinite(result["best_val_loss"])
+    # epoch coverage: the compiled epoch must step through (rows-per-device
+    # * n_dev) // global_bs batches — i.e. the whole dataset up to shard
+    # truncation, not a process-count-shrunken fraction (round-3 review fix)
+    n_rows = len(dm.train)
+    expected_steps = ((n_rows // 8) * 8) // dm.batch_size
+    variables = trainer.model.init(jax.random.PRNGKey(0))
+    from rlvae_tpu.parallel import replicate as _rep
+
+    variables = _rep(trainer.mesh, variables)
+    opt_state = _rep(trainer.mesh, trainer.optimizer.init(variables["params"]))
+    _, _, _, n = trainer._run_epoch_jit(variables, opt_state, 0, jax.random.PRNGKey(1))
+    assert n == expected_steps, (n, expected_steps, n_rows)
 
 
 def test_dryrun_multichip():
