@@ -94,6 +94,10 @@ def _wn_materialize_block(block: Dict[str, Array]) -> Dict[str, Array]:
 
 
 class LVAE_GUGUS(LVAE_IAF):
+    # GUGUS's _compute_recon_loss applies PLAIN mse — no 0.5 factor, unlike
+    # the LVAE_IAF parent (lvaeg2_model.py:399-417 vs lvae_iaf_model.py:428)
+    recon_scale = 1.0
+
     def __init__(
         self,
         *args,
@@ -107,6 +111,10 @@ class LVAE_GUGUS(LVAE_IAF):
         hmc_visit0_steps: int = 10,
         **kwargs,
     ):
+        # GUGUS's own config defaults differ from LVAE_IAF's:
+        # beta=5.0 and posterior='iaf' (lvae_gugus_config.py:29,34)
+        kwargs.setdefault("beta", 5.0)
+        kwargs.setdefault("posterior", "iaf")
         super().__init__(*args, **kwargs)
         if variant not in VARIANT_PRESETS:
             raise ValueError(f"unknown variant {variant!r}; one of {list(VARIANT_PRESETS)}")

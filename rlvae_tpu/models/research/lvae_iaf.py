@@ -142,10 +142,15 @@ class LVAE_IAF:
             seq.append(z_for)
         return jnp.stack(seq, axis=1), log_det  # [B, T, D], [B]
 
+    # MSE scale of the reconstruction term: LVAE_IAF uses 0.5*MSE
+    # throughout (lvae_iaf_model.py:325,350,385,428); LVAE_GUGUS overrides
+    # to 1.0 (its _compute_recon_loss applies PLAIN mse, lvaeg2_model.py:406)
+    recon_scale = 0.5
+
     def _recon_loss(self, recon, x, seq_mask, pix_mask):
         b, t = x.shape[0], x.shape[1]
         per_frame = jnp.sum(
-            0.5 * (recon.reshape(b * t, -1) - x.reshape(b * t, -1)) ** 2
+            self.recon_scale * (recon.reshape(b * t, -1) - x.reshape(b * t, -1)) ** 2
             * pix_mask.reshape(b * t, -1),
             axis=-1,
         )
@@ -312,7 +317,8 @@ class LVAE_IAF:
             )
         recon = self.decoder.apply({"params": params["decoder"]}, z).reconstruction
         per_frame = jnp.sum(
-            0.5 * (recon.reshape(b * t, -1) - x_flat.reshape(b * t, -1)) ** 2
+            self.recon_scale
+            * (recon.reshape(b * t, -1) - x_flat.reshape(b * t, -1)) ** 2
             * pix_mask.reshape(b * t, -1),
             axis=-1,
         )

@@ -797,6 +797,10 @@ def _gugus(variant, **kw):
     from rlvae_tpu.models.research import LVAE_GUGUS
 
     kw.setdefault("hidden_size", 16)
+    # gaussian posterior keeps these variant tests fast; the faithful
+    # defaults (beta=5.0, posterior='iaf', lvae_gugus_config.py:29,34) are
+    # asserted in test_gugus_sequence_loss_torch_parity
+    kw.setdefault("posterior", "gaussian")
     return LVAE_GUGUS(input_dim=INPUT, latent_dim=6, n_obs=3, warmup=0,
                       variant=variant, use_riemann_prior=True, **kw)
 
@@ -1316,3 +1320,62 @@ def test_gugus_gaussian_metric_prior_torch_parity(torch_gugus):
         ref_lp = ref._log_p_z(torch.as_tensor(z), t=0).numpy()
     our_lp = np.asarray(ours.log_p_z(v["params"], jnp.asarray(z)))
     np.testing.assert_allclose(our_lp, ref_lp, rtol=1e-4, atol=1e-4)
+
+
+def test_gugus_sequence_loss_torch_parity(torch_gugus):
+    """Direct parity of the GUGUS sequence loss (lvaeg2_model.py:330-342):
+    PLAIN-mse reconstruction (no 0.5 — unlike LVAE_IAF), flow-chain log-det
+    folded into the metric-Gaussian prior, with identical inputs."""
+    import torch
+
+    from rlvae_tpu.models.research import LVAE_GUGUS
+
+    ref = torch_gugus
+    rng = np.random.default_rng(4)
+    b, t, d = 3, 3, 6
+    a = rng.normal(size=(d, d)).astype(np.float32)
+    g0 = (a @ a.T + 0.5 * np.eye(d)).astype(np.float32)
+    ref.G_list = [torch.as_tensor(g0), None, None]
+
+    ours = LVAE_GUGUS(input_dim=INPUT, latent_dim=d, n_obs=t, warmup=0,
+                      hidden_size=16, variant="lvaeg2", use_riemann_prior=True,
+                      posterior="gaussian")
+    assert ours.recon_scale == 1.0  # GUGUS: plain mse
+    assert ours.beta == 5.0 and ref.beta == 5.0  # faithful default
+    v = ours.init(jax.random.PRNGKey(0))
+    ours.gm_list, ours.g_list = [np.zeros((1, d), np.float32)], [g0]
+
+    recon = rng.uniform(size=(b * t, *INPUT)).astype(np.float32)
+    x = rng.uniform(size=(b, t, *INPUT)).astype(np.float32)
+    mu = rng.normal(size=(b, d)).astype(np.float32)
+    lv = rng.normal(scale=0.3, size=(b, d)).astype(np.float32)
+    z0_vi = rng.normal(size=(b, d)).astype(np.float32)
+    z_seq = rng.normal(size=(b, t, d)).astype(np.float32)
+    z_vi = rng.normal(size=(b, d)).astype(np.float32)
+    ld_chain = rng.normal(scale=0.1, size=(b,)).astype(np.float32)
+    ld_post = rng.normal(scale=0.1, size=(b,)).astype(np.float32)
+
+    ref_out = ref.loss_function(
+        torch.as_tensor(recon), torch.as_tensor(x), torch.as_tensor(mu),
+        torch.as_tensor(lv), torch.as_tensor(z0_vi), torch.as_tensor(z_seq),
+        torch.as_tensor(z_vi), torch.as_tensor(ld_chain),
+        torch.as_tensor(ld_post), epoch=4,
+        seq_mask=torch.ones(b, t), pix_mask=torch.ones(b * t, int(np.prod(INPUT))),
+    )
+
+    # our forward's loss assembly with the same inputs (lvae_iaf.py:198-208)
+    recon_loss = ours._recon_loss(
+        jnp.asarray(recon).reshape(b, t, *INPUT), jnp.asarray(x),
+        jnp.ones((b, t)), jnp.ones_like(jnp.asarray(x)),
+    )
+    log_q = jnp.sum(
+        -0.5 * (jnp.asarray(lv) + (jnp.asarray(z0_vi) - jnp.asarray(mu)) ** 2
+                / (jnp.exp(jnp.asarray(lv)) + 1e-7)), axis=1,
+    ) - jnp.asarray(ld_post)
+    log_prior = ours.log_p_z(v["params"], jnp.asarray(z_seq[:, 0])) + jnp.asarray(ld_chain)
+    kld = log_q - log_prior
+    loss = jnp.mean(recon_loss + ours._beta(4, True) * kld)
+    for name, o, r in zip(("loss", "recon", "kld"),
+                          (loss, jnp.mean(recon_loss), jnp.mean(kld)), ref_out):
+        o, r = float(o), float(r.detach())
+        assert abs(o - r) / (abs(r) + 1e-3) < 2e-4, f"{name}: ours={o} ref={r}"
