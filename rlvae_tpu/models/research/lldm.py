@@ -388,7 +388,7 @@ class LLDM:
         input_dim: Tuple[int, ...] = (3, 64, 64),
         latent_dim: int = 12,
         n_obs: int = 8,
-        warmup: int = 0,
+        warmup: int = 50,  # lvae_iaf_config.py:28 default
         beta: float = 1.0,
         linear_scheduling_steps: int = 0,
         prior: str = "standard",  # standard | vamp (lldm_model.py:331-366)

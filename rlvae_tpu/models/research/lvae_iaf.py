@@ -38,7 +38,7 @@ class LVAE_IAF:
         input_dim: Tuple[int, ...] = (3, 64, 64),
         latent_dim: int = 16,
         n_obs: int = 8,
-        warmup: int = 10,
+        warmup: int = 50,  # lvae_iaf_config.py:28 default
         beta: float = 1.0,
         linear_scheduling_steps: int = 0,
         n_made_blocks: int = 2,
