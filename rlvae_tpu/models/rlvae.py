@@ -132,10 +132,12 @@ class RlVAE:
                     encoder_path=self.pretrained_encoder_path,
                     decoder_path=self.pretrained_decoder_path,
                 )
-            except ValueError as e:
+            except (ValueError, FileNotFoundError, OSError) as e:
                 # architecture mismatch (e.g. a cnn/resnet config pointing at
-                # the MLP artifacts): warn and train from scratch, matching
-                # the reference's tolerant loader (encoder_manager.py:260-326)
+                # the MLP artifacts) or a missing/unreadable artifact file:
+                # warn and train from scratch, matching the reference's
+                # tolerant loader, whose bare try/except degrades on ANY
+                # failure (encoder_manager.py:260-326)
                 print(f"[rlvae] WARNING: pretrained components not loaded: {e}")
         return variables
 
@@ -470,7 +472,11 @@ class RlVAE:
     # -- introspection -------------------------------------------------------
 
     def param_count(self, variables: Dict[str, Any]) -> int:
-        return sum(a.size for a in jax.tree_util.tree_leaves(variables))
+        # trainable parameters only — BN running stats under 'stats' are
+        # buffers, not parameters (reference counts p.numel() over
+        # self.parameters(), encoder_manager.py:257)
+        tree = variables.get("params", variables)
+        return sum(a.size for a in jax.tree_util.tree_leaves(tree))
 
     def get_model_summary(self, variables: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
         """Model summary (reference: modular_rlvae.py:459-520)."""

@@ -293,8 +293,9 @@ def _iaf_chain_bwd_kernel(
 def _stack_params(params: List[Dict[str, jax.Array]], masks, n_hidden: int):
     """Mask-premultiply and stack block params -> 6 stacked arrays.
 
-    Output layer is lane-padded to 2D' with D' >= D so tiny D keeps legal
-    tiles; mu/s columns live at [:D] and [D:2D] of the unpadded slice."""
+    The output layer is stacked at its natural [NB, H, 2D] shape (no lane
+    padding is applied); mu and s live at columns [:D] and [D:2D], which is
+    exactly how _made_pass slices them."""
     w0 = jnp.stack([masks[0] * p["w0"] for p in params])  # [NB, D, H]
     b0 = jnp.stack([p["b0"][None, :] for p in params])  # [NB, 1, H]
     wh = jnp.stack(

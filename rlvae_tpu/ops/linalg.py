@@ -85,6 +85,12 @@ def tri_solve_upper_t(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     vec = b.ndim == l.ndim - 1
     if vec:
         b = b[..., None]
+    if d > _MAX_UNROLL_DIM:
+        import jax
+
+        x = jax.scipy.linalg.solve_triangular(l, b, lower=True, trans=1)
+        return x[..., 0] if vec else x
+
     rows: list = [None] * d
     for i in reversed(range(d)):
         v = b[..., i, :]

@@ -168,14 +168,17 @@ def _g_inv_kernel(scal_ref, z_ref, c_ref, m_ref, out_ref, *, d, k_real, k_pad, t
 
 
 def _bundle_kernel(
-    scal_ref, z_ref, c_ref, m_ref, cc_ref, c2_ref, mean_ref,
-    gi_ref, l_ref, ld_ref, g_ref, *, d, k_real, k_pad, tb, mxu_dist
+    scal_ref, z_ref, c_ref, m_ref, *rest, d, k_real, k_pad, tb, mxu_dist
 ):
+    # the centered-expansion operands (cc, c2, mean) are only passed when
+    # mxu_dist is set — the default path ships no unused VMEM buffers
     inv_t2, lbd = scal_ref[0, 0], scal_ref[0, 1]
     if mxu_dist:
+        cc_ref, c2_ref, mean_ref, gi_ref, l_ref, ld_ref, g_ref = rest
         w = _weights_slab_mxu(z_ref, cc_ref, c2_ref, mean_ref, inv_t2,
                               d, k_real, k_pad, tb)
     else:
+        gi_ref, l_ref, ld_ref, g_ref = rest
         w = _weights_slab(z_ref, c_ref, inv_t2, d, k_real, k_pad, tb)
     gi_cols = _gi_cols(m_ref, w, lbd, d, tb)
     gi_ref[...] = _stack_cols(gi_cols).T
@@ -301,9 +304,18 @@ def metric_bundle_pallas(
     each arm compiles its own program (static arg; see the trace-time A/B
     trap in CLAUDE.md)."""
     b, d, k, k_pad, tb, b_pad, z_t, c_t, m_t = _prep(metric, z, tb)
-    mean_t = jnp.mean(metric.centroids, axis=0).astype(jnp.float32).reshape(d, 1)
-    cc_t = c_t - mean_t  # centered (padded columns masked in-kernel)
-    c2_t = jnp.sum(cc_t * cc_t, axis=0).reshape(k_pad, 1)
+    extra_in = ()
+    extra_specs = []
+    if mxu_dist:
+        mean_t = jnp.mean(metric.centroids, axis=0).astype(jnp.float32).reshape(d, 1)
+        cc_t = c_t - mean_t  # centered (padded columns masked in-kernel)
+        c2_t = jnp.sum(cc_t * cc_t, axis=0).reshape(k_pad, 1)
+        extra_in = (cc_t, c2_t, mean_t)
+        extra_specs = [
+            pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
     interp = (not _on_tpu()) if interpret is None else interpret
     gi, l_jm, ld, gm = pl.pallas_call(
         functools.partial(_bundle_kernel, d=d, k_real=k, k_pad=k_pad, tb=tb,
@@ -314,9 +326,7 @@ def metric_bundle_pallas(
             pl.BlockSpec((d, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            *extra_specs,
         ],
         out_specs=[
             pl.BlockSpec((tb, d * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -331,7 +341,7 @@ def metric_bundle_pallas(
             jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
         ],
         interpret=interp,
-    )(_scalars(metric), z_t, c_t, m_t, cc_t, c2_t, mean_t)
+    )(_scalars(metric), z_t, c_t, m_t, *extra_in)
     chol = jnp.swapaxes(l_jm[:b].reshape(b, d, d), -1, -2)  # j-major -> lower-tri
     return ModelOutput(
         g_inv=gi[:b].reshape(b, d, d),

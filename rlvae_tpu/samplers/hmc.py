@@ -152,18 +152,20 @@ def sample_posterior_hmc(
 ) -> Array:
     """Posterior-tempered HMC (reference: hmc_sampler.py:167-214).
 
-    Energy = -log pi(z) + 0.5 sum((z-mu)^2 exp(-log_var)); gradients via
-    autodiff of the energy like the reference; the reference's position
-    update subtracts eps*rho — kept verbatim for parity.
+    Energy = -log pi(z) + 0.5 sum((z-mu)^2 exp(-log_var)); the gradient is
+    assembled analytically (the fused kernel's grad log pi plus the
+    closed-form Gaussian term — identical to autodiffing the energy, but
+    valid on the Pallas backend, which has no VJP); the reference's
+    position update subtracts eps*rho — kept verbatim for parity.
     """
     terms = _terms_fn(metric, backend)
 
-    def energy(z):
-        logpi, _ = terms(z)
-        diff = z - mu
-        return jnp.sum(-logpi + 0.5 * jnp.sum(diff * jnp.exp(-log_var) * diff, axis=1))
-
-    grad_e = jax.grad(energy)
+    def grad_e(z):
+        # analytic energy gradient: terms() already returns grad log pi (the
+        # Pallas kernel has no VJP, so autodiff through it would fail at
+        # trace time on TPU); the Gaussian posterior term is closed-form
+        _, grad_logpi = terms(z)
+        return -grad_logpi + (z - mu) * jnp.exp(-log_var)
 
     k_init, k_chain = jax.random.split(key)
     eps0 = jax.random.normal(k_init, mu.shape)

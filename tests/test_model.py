@@ -247,3 +247,18 @@ def test_identity_flow_init_bounds_latents():
     # reference init amplifies ~e^{1.5*2}=20x per step; identity init doesn't
     assert z_r[:, -1].max() > 50 * z_r[:, 0].max()
     assert z_i[:, -1].max() < 10 * z_i[:, 0].max()
+
+
+def test_init_tolerates_missing_pretrained_files(capsys):
+    """A config pointing at nonexistent pretrained artifacts must warn and
+    train from scratch — the reference's loader degrades on ANY failure
+    (encoder_manager.py:260-326); round-3 review fix for FileNotFoundError."""
+    model = RlVAE(
+        input_dim=(3, 8, 8), latent_dim=8, n_flows=0,
+        posterior_type="gaussian", sampling_method="standard",
+        use_riemannian=False,
+        pretrained_encoder_path="/nonexistent/encoder.npz",
+    )
+    variables = model.init(jax.random.PRNGKey(0))
+    assert "params" in variables
+    assert "not loaded" in capsys.readouterr().out

@@ -141,3 +141,24 @@ def test_hmc_targets_density(metric):
     logpi_chain = float(jnp.mean(log_sqrt_det_g_inv(metric, z)))
     logpi_uniform = float(jnp.mean(log_sqrt_det_g_inv(metric, uniform)))
     assert logpi_chain > logpi_uniform + 1.0, (logpi_chain, logpi_uniform)
+
+
+def test_posterior_hmc_runs_on_pallas_backend(metric):
+    """sample_posterior_hmc must work with the fused-kernel terms backend:
+    the kernel has no VJP, so the energy gradient is assembled analytically
+    (round-3 review fix — autodiff through the Pallas call crashed at trace
+    time on TPU, where backend='auto' selects it)."""
+    from rlvae_tpu.samplers.hmc import sample_posterior_hmc
+
+    rng = np.random.default_rng(0)
+    mu = jnp.asarray(rng.normal(size=(6, metric.latent_dim)), jnp.float32)
+    lv = jnp.asarray(rng.normal(scale=0.2, size=mu.shape), jnp.float32)
+    z_p = sample_posterior_hmc(metric, jax.random.PRNGKey(0), mu, lv,
+                               n_steps=3, backend="pallas")
+    z_x = sample_posterior_hmc(metric, jax.random.PRNGKey(0), mu, lv,
+                               n_steps=3, backend="xla")
+    assert np.isfinite(np.asarray(z_p)).all()
+    # identical keys + identical analytic gradients -> same chains up to
+    # backend numerics
+    np.testing.assert_allclose(np.asarray(z_p), np.asarray(z_x),
+                               rtol=1e-3, atol=1e-4)
