@@ -163,11 +163,7 @@ class NormalizingFlow:
                      "n_hidden": n_hidden}
         key = key if key is not None else jax.random.PRNGKey(0)
         if family in ("iaf", "maf"):
-            self.masks = (
-                iaf_masks(input_dim, hidden_size, n_hidden)
-                if family == "iaf"
-                else iaf_masks(input_dim, hidden_size, n_hidden)  # same MADE masks
-            )
+            self.masks = iaf_masks(input_dim, hidden_size, n_hidden)  # shared MADE masks
         if family == "iaf":
             self.params = params if params is not None else init_iaf(
                 key, input_dim, hidden_size, n_blocks, n_hidden)

@@ -240,8 +240,10 @@ def grad_log_sqrt_det_g_inv(
     ``jax.grad(log_sqrt_det_g_inv)`` when the exact gradient is wanted.
 
     The inner sum is evaluated without materializing [B, K, D, D]:
-    sum_k w_k M_k^T (c_k - z) = einsum('bk,kji,bki->bj', w, M, c - z),
-    reshaped into MXU-friendly contractions.
+    v_j = sum_k w_k sum_i (c_k - z)_i M_k[i, j]
+        = einsum('bk,bki,kij->bj', w, c - z, M)
+    (i.e. M_k^T applied to the diff — the index string below is the code's
+    single source of truth).
     """
     z = z.astype(jnp.float32)
     w = weights(metric, z)  # [B, K]
@@ -289,25 +291,27 @@ def diagnostics(metric: CentroidMetric, z: Array) -> Dict[str, Any]:
     giz = g_inv(metric, z)
     eig_g = jnp.linalg.eigvalsh(gz[0])
     eig_gi = jnp.linalg.eigvalsh(giz[0])
-    det_g = jnp.exp(logdet_g(metric, z))
-    det_gi = jnp.exp(logdet_g_inv(metric, z))
-    tr_g = jnp.trace(gz, axis1=-2, axis2=-1)
-    tr_gi = jnp.trace(giz, axis1=-2, axis2=-1)
-    return {
-        "eigenvals_G_min": float(eig_g.min()),
-        "eigenvals_G_max": float(eig_g.max()),
-        "eigenvals_G_mean": float(eig_g.mean()),
-        "eigenvals_G_inv_min": float(eig_gi.min()),
-        "eigenvals_G_inv_max": float(eig_gi.max()),
-        "eigenvals_G_inv_mean": float(eig_gi.mean()),
-        "condition_number_G": float(eig_g.max() / (eig_g.min() + 1e-8)),
-        "condition_number_G_inv": float(eig_gi.max() / (eig_gi.min() + 1e-8)),
-        "det_G_mean": float(det_g.mean()),
-        "det_G_inv_mean": float(det_gi.mean()),
-        "trace_G_mean": float(tr_g.mean()),
-        "trace_G_inv_mean": float(tr_gi.mean()),
-        "batch_size": int(z.shape[0]),
-        "n_centroids": metric.n_centroids,
-        "temperature": float(metric.temperature),
-        "regularization": float(metric.regularization),
-    }
+    # ONE device->host transfer for every scalar (per-scalar float() costs
+    # ~ms each through the axon tunnel — CLAUDE.md)
+    d = jax.device_get({
+        "eigenvals_G_min": eig_g.min(),
+        "eigenvals_G_max": eig_g.max(),
+        "eigenvals_G_mean": eig_g.mean(),
+        "eigenvals_G_inv_min": eig_gi.min(),
+        "eigenvals_G_inv_max": eig_gi.max(),
+        "eigenvals_G_inv_mean": eig_gi.mean(),
+        "det_G_mean": jnp.exp(logdet_g(metric, z)).mean(),
+        "det_G_inv_mean": jnp.exp(logdet_g_inv(metric, z)).mean(),
+        "trace_G_mean": jnp.trace(gz, axis1=-2, axis2=-1).mean(),
+        "trace_G_inv_mean": jnp.trace(giz, axis1=-2, axis2=-1).mean(),
+        "temperature": metric.temperature,
+        "regularization": metric.regularization,
+    })
+    out = {k: float(v) for k, v in d.items()}
+    out["condition_number_G"] = out["eigenvals_G_max"] / (out["eigenvals_G_min"] + 1e-8)
+    out["condition_number_G_inv"] = out["eigenvals_G_inv_max"] / (
+        out["eigenvals_G_inv_min"] + 1e-8
+    )
+    out["batch_size"] = int(z.shape[0])
+    out["n_centroids"] = metric.n_centroids
+    return out

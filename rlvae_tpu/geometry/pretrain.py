@@ -37,6 +37,9 @@ import numpy as np
 
 from rlvae_tpu.geometry.metric import CentroidMetric
 from rlvae_tpu.nets import create_decoder, create_encoder
+from rlvae_tpu.geometry import metric as gm
+from rlvae_tpu.geometry.metric import CentroidMetric
+from rlvae_tpu.ops import linalg as linalg_ops
 from rlvae_tpu.utils.output import ModelOutput
 
 Array = jax.Array
@@ -64,13 +67,17 @@ class MetricMLP(nn.Module):
 
 def _batch_g_inv(z, centroids, m_mats, temperature, lbd):
     """Local training metric from the batch's (M, mu) pairs
-    (reference: rhvae_model.py:180-190)."""
-    d2 = jnp.sum((z[:, None, :] - centroids[None, :, :]) ** 2, axis=-1)
-    w = jnp.exp(-d2 / temperature**2)
-    gi = jnp.einsum(
-        "bk,kij->bij", w, m_mats, precision=jax.lax.Precision.HIGHEST
+    (reference: rhvae_model.py:180-190) — delegates to the production
+    centroid-metric closure (geometry/metric.g_inv: MXU formulation,
+    HIGHEST precision) so the formula lives in exactly one place."""
+    metric = CentroidMetric(
+        centroids=centroids,
+        matrices=m_mats,
+        temperature=jnp.asarray(temperature, jnp.float32),
+        regularization=jnp.asarray(lbd, jnp.float32),
+        latent_dim=int(z.shape[-1]),
     )
-    return gi + lbd * jnp.eye(z.shape[-1], dtype=jnp.float32)
+    return gm.g_inv(metric, z)
 
 
 class RHVAE:
@@ -136,8 +143,13 @@ class RHVAE:
 
     def _hamiltonian(self, params, x, z, rho, centroids, m_mats):
         gi = _batch_g_inv(z, centroids, m_mats, self.temperature, self.lbd)
-        g_log_det = -jnp.linalg.slogdet(gi)[1]
-        quad = jnp.einsum("bi,bij,bj->b", rho, gi, rho)
+        # unrolled-Cholesky logdet + HIGHEST-precision quad form: [B,16,16]
+        # jnp.linalg in a jitted-and-differentiated hot path is the layout
+        # trap CLAUDE.md documents; this Hamiltonian is evaluated (and
+        # grad'd) fixed_point_steps x n_lf times per train step
+        g_log_det = -linalg_ops.logdet_from_chol(linalg_ops.cholesky_small(gi))
+        quad = jnp.einsum("bi,bij,bj->b", rho, gi, rho,
+                          precision=jax.lax.Precision.HIGHEST)
         return jnp.sum(-self._log_p_xz(params, x, z) + 0.5 * quad + 0.5 * g_log_det)
 
     def forward(self, params: Dict[str, Any], x: Array, key: Array) -> ModelOutput:
@@ -161,7 +173,8 @@ class RHVAE:
         rho = gamma / self.beta_zero_sqrt
         # rho ~ N(0, G): transform with the metric net's L directly
         # (training branch, rhvae_model.py:172-204)
-        rho = jnp.einsum("bij,bj->bi", l_mat, rho)
+        rho = jnp.einsum("bij,bj->bi", l_mat, rho,
+                         precision=jax.lax.Precision.HIGHEST)
 
         z = z0
         beta_sqrt_old = self.beta_zero_sqrt
@@ -173,7 +186,8 @@ class RHVAE:
                 rho_ = rho - 0.5 * eps * grad_z(z, rho_)
             # step 2: the stale-metric fixed point is explicit (see module doc)
             gi_old = _batch_g_inv(z, centroids, m_mats, self.temperature, self.lbd)
-            z = z + eps * jnp.einsum("bij,bj->bi", gi_old, rho_)
+            z = z + eps * jnp.einsum("bij,bj->bi", gi_old, rho_,
+                                     precision=jax.lax.Precision.HIGHEST)
             # step 3: explicit momentum half-step at the new position
             rho = rho_ - 0.5 * eps * grad_z(z, rho_)
             # tempering (reference: rhvae_model.py:455-462)
@@ -186,10 +200,12 @@ class RHVAE:
 
         # loss: -(log p(x, z_K) + log p(rho_K) - log q(z_0|x))
         gi_k = _batch_g_inv(z, centroids, m_mats, self.temperature, self.lbd)
-        g_log_det_k = -jnp.linalg.slogdet(gi_k)[1]
+        g_log_det_k = -linalg_ops.logdet_from_chol(linalg_ops.cholesky_small(gi_k))
         logpxz = self._log_p_xz(params, x, z)
         log_rho_k = (
-            -0.5 * jnp.einsum("bi,bij,bj->b", rho, gi_k, rho) - 0.5 * g_log_det_k
+            -0.5 * jnp.einsum("bi,bij,bj->b", rho, gi_k, rho,
+                              precision=jax.lax.Precision.HIGHEST)
+            - 0.5 * g_log_det_k
         )
         logq = (
             -0.5 * jnp.sum(eps0**2, axis=-1)

@@ -55,16 +55,24 @@ def _data_module_from_arrays(
         raise ValueError(
             f"train_data must be [N,T,C,H,W] or [N,C,H,W]; got {train.shape}"
         )
-    batch_size = int(dict(training_config).get("data", {}).get("batch_size", 8))
+    # the batch size can never exceed the dataset (drop-remainder static
+    # shapes would otherwise yield ZERO train batches for tiny arrays)
+    batch_size = min(
+        int(dict(training_config).get("data", {}).get("batch_size", 8)),
+        train.shape[0],
+    )
     if eval_data is None:
-        # at least one full batch, or evaluation would yield zero batches
-        # under drop-remainder static shapes
-        n_eval = max(batch_size, train.shape[0] // 10)
-        eval_arr = train[:n_eval]
+        eval_arr = train[: max(batch_size, train.shape[0] // 10)]
     else:
         eval_arr = np.asarray(eval_data, np.float32)
         if eval_arr.ndim == 4:
             eval_arr = eval_arr[:, None]
+    if eval_arr.shape[0] < batch_size:
+        # tile up to one full batch, or evaluation would yield zero batches
+        # under drop-remainder static shapes (val_loss NaN -> the 'best'
+        # checkpoint is never written)
+        reps = -(-batch_size // eval_arr.shape[0])
+        eval_arr = np.tile(eval_arr, (reps, 1, 1, 1, 1))[:batch_size]
     dm = CyclicDataModule({"synthetic_fallback": False, "verify_cyclicity": False})
     dm.batch_size = batch_size
     dm.train = CyclicSequenceDataset(train, verify_cyclicity=False)

@@ -71,28 +71,53 @@ def _device_prefetch(batches, sharding, n_devices, depth: int = 2):
         yield queue.popleft()
 
 
+def _step_body(model, optimizer, variables, opt_state, batch, key,
+               pmean_axis=None):
+    """The shared forward/grad/update/metrics step body used by
+    make_train_step, make_epoch_fn, and make_epoch_fn_sharded (one source of
+    truth; ``pmean_axis`` inserts the DP reductions of the shard_map path)."""
+
+    def loss_fn(params):
+        vs = {**variables, "params": params}
+        out = model.forward(vs, batch, key, train=True)
+        return out.loss, out
+
+    (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    if pmean_axis is not None:
+        grads = jax.lax.pmean(grads, pmean_axis)
+    metrics = {
+        "loss": out.loss,
+        "recon_loss": out.recon_loss,
+        "kld_loss": out.kld_loss,
+        "flow_loss": out.flow_loss,
+        "loop_penalty": out.loop_penalty,
+    }
+    if pmean_axis is not None:
+        metrics = jax.lax.pmean(metrics, pmean_axis)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    updates, opt_state = optimizer.update(grads, opt_state, variables["params"])
+    new_params = optax.apply_updates(variables["params"], updates)
+    if pmean_axis is None:
+        variables = _merge_stats({**variables, "params": new_params}, out)
+    else:
+        variables = {**variables, "params": new_params}
+        if "state_updates" in out:
+            # BN running stats are per-shard; average them so every replica
+            # carries identical state
+            upd = jax.lax.pmean(out["state_updates"], pmean_axis)
+            stats = dict(variables["stats"])
+            for k in ("encoder", "decoder"):
+                if upd.get(k):
+                    stats[k] = upd[k]
+            variables = {**variables, "stats": stats}
+    return variables, opt_state, metrics
+
+
 def make_train_step(model: RlVAE, optimizer, nan_checks: bool = False) -> Callable:
     def train_step(variables, opt_state, batch, key):
-        def loss_fn(params):
-            vs = {**variables, "params": params}
-            out = model.forward(vs, batch, key, train=True)
-            return out.loss, out
-
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            variables["params"]
-        )
-        updates, opt_state = optimizer.update(grads, opt_state, variables["params"])
-        new_params = optax.apply_updates(variables["params"], updates)
-        variables = _merge_stats({**variables, "params": new_params}, out)
-        metrics = {
-            "loss": out.loss,
-            "recon_loss": out.recon_loss,
-            "kld_loss": out.kld_loss,
-            "flow_loss": out.flow_loss,
-            "loop_penalty": out.loop_penalty,
-            "grad_norm": optax.global_norm(grads),
-        }
-        return variables, opt_state, metrics
+        return _step_body(model, optimizer, variables, opt_state, batch, key)
 
     if nan_checks:
         # debug mode: checkify float checks pinpoint the first NaN/Inf op;
@@ -127,26 +152,9 @@ def make_epoch_fn(model: RlVAE, optimizer) -> Callable:
             variables, opt_state, key = carry
             key, k_step = jax.random.split(key)
             batch = jnp.take(data, idx, axis=0)
-
-            def loss_fn(params):
-                vs = {**variables, "params": params}
-                out = model.forward(vs, batch, k_step, train=True)
-                return out.loss, out
-
-            (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                variables["params"]
+            variables, opt_state, metrics = _step_body(
+                model, optimizer, variables, opt_state, batch, k_step
             )
-            updates, opt_state = optimizer.update(grads, opt_state, variables["params"])
-            new_params = optax.apply_updates(variables["params"], updates)
-            variables = _merge_stats({**variables, "params": new_params}, out)
-            metrics = {
-                "loss": out.loss,
-                "recon_loss": out.recon_loss,
-                "kld_loss": out.kld_loss,
-                "flow_loss": out.flow_loss,
-                "loop_penalty": out.loop_penalty,
-                "grad_norm": optax.global_norm(grads),
-            }
             return (variables, opt_state, key), metrics
 
         (variables, opt_state, _), metrics = jax.lax.scan(
@@ -193,39 +201,10 @@ def make_epoch_fn_sharded(model: RlVAE, optimizer, mesh) -> Callable:
                 variables, opt_state, key = carry
                 key, k_step = jax.random.split(key)
                 batch = jnp.take(local_data, idx[0], axis=0)
-
-                def loss_fn(params):
-                    vs = {**variables, "params": params}
-                    out = model.forward(vs, batch, k_step, train=True)
-                    return out.loss, out
-
-                (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                    variables["params"]
+                variables, opt_state, metrics = _step_body(
+                    model, optimizer, variables, opt_state, batch, k_step,
+                    pmean_axis=DATA_AXIS,
                 )
-                grads = jax.lax.pmean(grads, DATA_AXIS)
-                metrics = {
-                    "loss": out.loss,
-                    "recon_loss": out.recon_loss,
-                    "kld_loss": out.kld_loss,
-                    "flow_loss": out.flow_loss,
-                    "loop_penalty": out.loop_penalty,
-                }
-                metrics = jax.lax.pmean(metrics, DATA_AXIS)
-                metrics["grad_norm"] = optax.global_norm(grads)
-                updates, opt_state = optimizer.update(
-                    grads, opt_state, variables["params"]
-                )
-                new_params = optax.apply_updates(variables["params"], updates)
-                variables = {**variables, "params": new_params}
-                if "state_updates" in out:
-                    # BN running stats are per-shard; average them so every
-                    # replica carries identical state
-                    upd = jax.lax.pmean(out["state_updates"], DATA_AXIS)
-                    stats = dict(variables["stats"])
-                    for k in ("encoder", "decoder"):
-                        if upd.get(k):
-                            stats[k] = upd[k]
-                    variables = {**variables, "stats": stats}
                 return (variables, opt_state, key), metrics
 
             (variables, opt_state, _), metrics = jax.lax.scan(
@@ -391,13 +370,14 @@ class Trainer:
                         variables, opt_state, epoch, k_epoch
                     )
                     fetched = jax.device_get(stacked)  # one transfer per epoch
+                    lr = get_lr(opt_state)  # constant within the epoch: fetch once
                     for s in range(n_steps):
                         step += 1
                         if step % self.log_every == 0:
                             host = {
                                 f"train/{k}": float(v[s]) for k, v in fetched.items()
                             }
-                            host["lr"] = get_lr(opt_state)
+                            host["lr"] = lr
                             self.logger.log(host, step=step)
                             self.callbacks.on_train_step_end(self.cfg, step=step, logs=host)
                             self.callbacks.on_log(self.cfg, host, step=step)
@@ -416,7 +396,9 @@ class Trainer:
                         variables, opt_state, metrics = self._train_step(
                             variables, opt_state, device_batch, k_step
                         )
-                        if step % self.log_every == 0:
+                        # gate on the POST-increment step so the iteration
+                        # that is synchronously timed is the one logged
+                        if (step + 1) % self.log_every == 0:
                             jax.block_until_ready(metrics)
                         timer.stop()
                         train_metrics.append(metrics)
