@@ -36,18 +36,9 @@ import numpy as np
 
 
 def _png_b64(frame_chw: np.ndarray) -> str:
-    import matplotlib
+    from rlvae_tpu.viz.base import png_b64  # shared figure-free renderer
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    fig, ax = plt.subplots(figsize=(2, 2), dpi=64)
-    ax.imshow(np.clip(np.transpose(frame_chw, (1, 2, 0)), 0, 1))
-    ax.axis("off")
-    buf = io.BytesIO()
-    fig.savefig(buf, format="png", bbox_inches="tight", pad_inches=0)
-    plt.close(fig)
-    return base64.b64encode(buf.getvalue()).decode()
+    return png_b64(frame_chw)
 
 
 class ExperimentBackend:
@@ -118,6 +109,7 @@ class AppState:
         self.outputs_dir = Path(outputs_dir)
         self.backend = ExperimentBackend(outputs_dir)
         self._managers: Dict[str, Any] = {}
+        self._data_modules: Dict[str, Any] = {}
         self._lock = threading.Lock()
 
     def list_runs(self) -> List[Dict[str, Any]]:
@@ -157,9 +149,21 @@ class AppState:
 
         from rlvae_tpu.data import CyclicDataModule
 
-        full = yaml.safe_load((self.outputs_dir / run_name / "config.yaml").read_text())
-        dm = CyclicDataModule(full.get("data", {}))
-        dm.setup(full.get("training", {}))
+        with self._lock:
+            dm = self._data_modules.get(run_name)
+        if dm is None:
+            # build ONCE per run (dataset synthesis/loading is seconds of
+            # work) with the run's own seed so the batch matches the data
+            # the model actually validated on
+            full = yaml.safe_load(
+                (self.outputs_dir / run_name / "config.yaml").read_text()
+            )
+            dm = CyclicDataModule(
+                full.get("data", {}), seed=int(full.get("run", {}).get("seed", 42))
+            )
+            dm.setup(full.get("training", {}))
+            with self._lock:
+                self._data_modules[run_name] = dm
         return dm.get_sample_batch("val", n)
 
 
@@ -276,7 +280,7 @@ API('/api/runs').then(runs => {
   const keys = [...new Set(done.flatMap(r => Object.keys(r.results.test)))].slice(0, 8);
   let html = '<h2>Model comparison</h2><table><tr><th>run</th>' + keys.map(k => `<th>${k}</th>`).join('') + '</tr>';
   for (const r of done)
-    html += `<tr><td>${r.name}</td>` + keys.map(k => `<td>${(r.results.test[k] ?? 0).toFixed ? (r.results.test[k]).toFixed(3) : r.results.test[k]}</td>`).join('') + '</tr>';
+    html += `<tr><td>${r.name}</td>` + keys.map(k => { const v = r.results.test[k]; return `<td>${typeof v === 'number' ? v.toFixed(3) : (v ?? '—')}</td>`; }).join('') + '</tr>';
   app.innerHTML = html + '</table>';
 });
 """,
@@ -285,7 +289,7 @@ API('/api/gallery').then(d => {
   let html = '<h2>Visualization gallery</h2>';
   for (const a of d.artifacts)
     html += `<p><a href="/artifact?path=${encodeURIComponent(a)}" target="_blank">${a}</a></p>`;
-  app.innerHTML = html || '<p>no artifacts yet</p>';
+  app.innerHTML = d.artifacts.length ? html : html + '<p>no artifacts yet</p>';
 });
 """,
 }
@@ -340,7 +344,10 @@ def make_handler(state: AppState):
                 if url.path == "/artifact":
                     rel = q.get("path", [""])[0]
                     target = (state.outputs_dir / rel).resolve()
-                    if not str(target).startswith(str(state.outputs_dir.resolve())):
+                    import os
+
+                    root = state.outputs_dir.resolve()
+                    if os.path.commonpath([str(target), str(root)]) != str(root):
                         return self._json({"error": "forbidden"}, 403)
                     ctype = "text/html" if target.suffix == ".html" else "image/png"
                     return self._html(target.read_bytes(), ctype=ctype)

@@ -285,6 +285,7 @@ def _compose_impl(config_dir: Path, config_name: str, specs: List[OverrideSpec])
         if not merged_self:
             _deep_merge(cfg, _place_at_package(data, pkg, group))
 
+    visited_groups = set()
     for entry in defaults:
         if entry == "_self_":
             merge_self()
@@ -294,10 +295,18 @@ def _compose_impl(config_dir: Path, config_name: str, specs: List[OverrideSpec])
         else:
             group, option = None, entry
         if group is not None:
+            visited_groups.add(group)
             option = group_selects.get(group, option)
             if option is None:
                 continue
         merge_group_option(group, option)
+
+    # group overrides naming a real config-group directory that the root
+    # defaults list does not mention: merge them after the defaults (the
+    # `+group=option` add semantics) instead of silently dropping them
+    for group, option in group_selects.items():
+        if group not in visited_groups and option is not None:
+            merge_group_option(group, option)
 
     if not self_merged:
         merge_self()

@@ -245,10 +245,15 @@ class CyclicDataModule:
             )
 
     def val_batches(self) -> Iterator[np.ndarray]:
-        yield from batch_iterator(self.val.data, self.batch_size, shuffle=False)
+        # keep the remainder: a val split smaller than batch_size would
+        # otherwise yield ZERO batches (NaN val_loss, no best checkpoint);
+        # multi-device eval skips non-divisible batches itself
+        yield from batch_iterator(self.val.data, self.batch_size, shuffle=False,
+                                  drop_remainder=False)
 
     def test_batches(self) -> Iterator[np.ndarray]:
-        yield from batch_iterator(self.test.data, self.batch_size, shuffle=False)
+        yield from batch_iterator(self.test.data, self.batch_size, shuffle=False,
+                                  drop_remainder=False)
 
     def steps_per_epoch(self) -> int:
         return len(self.train) // self.batch_size

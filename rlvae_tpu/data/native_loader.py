@@ -97,10 +97,17 @@ class NativeBatchLoader:
         self._handle = None
         lib = _lib()
         if lib is not None:
-            path = stage_raw(
-                self._data,
-                raw_path or (_BUILD / f"dataset_{id(self) & 0xFFFFFF:x}.bin"),
-            )
+            if raw_path is None:
+                # content-digest filename: id(self)-derived names collide
+                # across GC'd loaders / processes and the size-only
+                # idempotence check would then serve STALE bytes
+                import hashlib
+
+                digest = hashlib.blake2b(
+                    self._data.tobytes(), digest_size=12
+                ).hexdigest()
+                raw_path = _BUILD / f"dataset_{digest}.bin"
+            path = stage_raw(self._data, raw_path)
             sample_elems = int(np.prod(self.sample_shape))
             self._handle = lib.rl_loader_create(
                 str(path).encode(), data.shape[0], sample_elems, 0,

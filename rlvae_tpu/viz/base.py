@@ -67,3 +67,24 @@ class BaseVisualization:
 
     def run(self, epoch: int, model, variables, sample_batch) -> List[Path]:
         raise NotImplementedError
+
+
+def png_b64(frame_chw) -> str:
+    """[C, H, W] float array -> base64 PNG thumbnail, rendered directly from
+    the pixel array (no matplotlib figure — ~50x cheaper per frame; shared
+    by the interactive viz suites and the app server)."""
+    import base64
+    import io
+
+    import matplotlib
+    import numpy as np
+
+    matplotlib.use("Agg")
+    from matplotlib import image as mpimg
+
+    arr = np.clip(np.transpose(np.asarray(frame_chw), (1, 2, 0)), 0.0, 1.0)
+    if arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    buf = io.BytesIO()
+    mpimg.imsave(buf, arr, format="png")
+    return base64.b64encode(buf.getvalue()).decode()

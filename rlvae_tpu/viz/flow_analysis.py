@@ -78,7 +78,14 @@ class FlowAnalysisVisualizations(BaseVisualization):
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        from rlvae_tpu.flows import iaf_forward
+        from rlvae_tpu.flows import iaf_forward, iaf_inverse
+
+        # mirror the temporal map's configured direction (flow_direction=
+        # 'sampling' runs iaf_inverse as the forward-time map,
+        # flows/temporal.py); otherwise the spectra describe the inverse
+        step_fn = (iaf_inverse
+                   if getattr(model.flow_config, "direction", "density") != "density"
+                   else iaf_forward)
 
         x = np.asarray(sample_batch, np.float32)
         out = self.forward(model, variables, x, jax.random.PRNGKey(epoch))
@@ -94,7 +101,7 @@ class FlowAnalysisVisualizations(BaseVisualization):
             z_t = jnp.asarray(z[:4, t])  # a few samples
 
             def f(single):
-                y, _ = iaf_forward(flows[t], masks, single[None, :])
+                y, _ = step_fn(flows[t], masks, single[None, :])
                 return y[0]
 
             jac = jax.vmap(jax.jacfwd(f))(z_t)  # [4, D, D]

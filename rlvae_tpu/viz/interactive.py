@@ -22,19 +22,10 @@ from rlvae_tpu.viz.base import BaseVisualization
 
 
 def _png_b64(frame_chw: np.ndarray) -> str:
-    """[C, H, W] float -> base64 PNG string."""
-    import matplotlib
+    """[C, H, W] float -> base64 PNG string (shared figure-free renderer)."""
+    from rlvae_tpu.viz.base import png_b64
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    fig, ax = plt.subplots(figsize=(2, 2), dpi=64)
-    ax.imshow(np.clip(np.transpose(frame_chw, (1, 2, 0)), 0, 1))
-    ax.axis("off")
-    buf = io.BytesIO()
-    fig.savefig(buf, format="png", bbox_inches="tight", pad_inches=0)
-    plt.close(fig)
-    return base64.b64encode(buf.getvalue()).decode()
+    return png_b64(frame_chw)
 
 
 _SLIDER_HTML = """<!DOCTYPE html>

@@ -112,3 +112,20 @@ def test_multihost_process_sliced_loading(n_proc):
     gflat = dm_all.train.data.reshape(30, -1)
     for row in flat:
         assert (np.abs(gflat - row).sum(axis=1) < 1e-6).any()
+
+
+def test_eval_batches_keep_remainder():
+    """A val split smaller than the batch size must still yield a batch
+    (review fix: drop-remainder eval yielded ZERO batches -> NaN val_loss
+    and no 'best' checkpoint)."""
+    from rlvae_tpu.data.cyclic import CyclicDataModule
+
+    dm = CyclicDataModule({"synthetic_fallback": True, "synthetic_n_train": 16,
+                           "synthetic_n_test": 16, "verify_cyclicity": False})
+    dm.setup({"data": {"batch_size": 8}, "trainer": {},
+              "n_val_samples": 3})
+    dm.batch_size = 8
+    # force a tiny val split
+    dm.val.data = dm.val.data[:3]
+    batches = list(dm.val_batches())
+    assert len(batches) == 1 and batches[0].shape[0] == 3
