@@ -115,7 +115,10 @@ def apply_model_overrides(model_config: Dict[str, Any], model_name: str) -> Dict
     if model_name == "vanilla_vae":
         for k, v in VANILLA_OVERRIDES.items():
             if isinstance(v, Mapping):
-                cfg.setdefault(k, {})
+                # an empty YAML section ('sampling:') parses to None —
+                # setdefault alone would keep it and crash the dict merge
+                if not isinstance(cfg.get(k), Mapping):
+                    cfg[k] = {}
                 cfg[k] = {**cfg[k], **v}
             else:
                 cfg[k] = v

@@ -64,7 +64,12 @@ def riemannian_full_kl(
     """
     lv = jnp.clip(log_var, -LOG_VAR_CLAMP, LOG_VAR_CLAMP)
     g_z = gm.g(metric, z)
-    trace_term = jnp.sum(jnp.diagonal(g_z, axis1=-2, axis2=-1) * jnp.exp(lv), axis=1)
+    # NB: the reference's trace term uses the UNCLAMPED log_var
+    # (riemannian_flow_vae.py:1360); only the posterior log-det sum is
+    # clamped (:1372) — torch-parity-tested (tests/test_model.py)
+    trace_term = jnp.sum(
+        jnp.diagonal(g_z, axis1=-2, axis2=-1) * jnp.exp(log_var), axis=1
+    )
     quad = gm.quadratic_form(g_z, mu)
     log_det_g = jnp.log(jnp.clip(jnp.exp(gm.logdet_g(metric, z)), 1e-10, 1e10))
     d = mu.shape[1]
@@ -112,7 +117,10 @@ def additional_metrics(
     if metric is not None:
         z0 = z_seq[:, 0]
         gi = gm.g_inv(metric, z0)
-        eigvals = jnp.linalg.eigvalsh(gi)
+        # batched [B,16,16] eigvalsh is the CLAUDE.md layout trap; this is
+        # an eval-only monitoring metric, so cap the eigendecomposition at
+        # 32 samples (statistically equivalent conditioning estimate)
+        eigvals = jnp.linalg.eigvalsh(gi[:32])
         out["metric_conditioning"] = jnp.mean(eigvals[:, -1] / eigvals[:, 0])
         det_gi = jnp.exp(gm.logdet_g_inv(metric, z0))
         out["manifold_regularity"] = jnp.std(jnp.log(det_gi + 1e-8))

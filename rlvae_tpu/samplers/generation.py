@@ -128,7 +128,10 @@ class VampSampler(BaseGenerationSampler):
         k_idx, k_eps = jax.random.split(key)
         idx = jax.random.randint(k_idx, (n,), 0, self.model.number_components)
         mu = jnp.take(mu_k, idx, axis=0)
-        lv = jnp.take(lv_k, idx, axis=0)
+        # pythae clamps the component log-covariance with tanh
+        # (vamp_sampler.py:66,90) — without it sharp components sample with
+        # exponentially wrong variance
+        lv = jnp.tanh(jnp.take(lv_k, idx, axis=0))
         eps = jax.random.normal(k_eps, mu.shape, jnp.float32)
         return mu + jnp.exp(0.5 * lv) * eps
 

@@ -79,6 +79,12 @@ def sample_posterior(
         return _posterior_geodesic(metric, key, mu, log_var)
     if method == "official":
         return _posterior_official(metric, key, mu, log_var)
+    if method == "hmc":
+        # posterior-tempered HMC refinement (reference:
+        # hmc_sampler.py:216-257 sample_riemannian_latents)
+        from rlvae_tpu.samplers.hmc import sample_posterior_hmc
+
+        return sample_posterior_hmc(metric, key, mu, log_var)
     raise ValueError(f"Unknown posterior sampling method: {method}")
 
 
@@ -93,6 +99,11 @@ def _posterior_basic(metric, key, mu, log_var):
 
 def _top2_centroids(metric, mu):
     dist = jnp.linalg.norm(mu[:, None, :] - metric.centroids[None, :, :], axis=-1)
+    if metric.n_centroids < 2:
+        # degenerate single-centroid metric: both 'nearest' slots point at
+        # it (top_k would fail at trace time for k > n)
+        idx = jnp.zeros((mu.shape[0], 2), jnp.int32)
+        return jnp.repeat(dist, 2, axis=1), idx
     neg_top, idx = jax.lax.top_k(-dist, 2)  # two nearest
     return -neg_top, idx  # distances [B, 2], indices [B, 2]
 

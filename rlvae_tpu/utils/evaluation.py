@@ -28,6 +28,11 @@ def _takes(model, name: str) -> bool:
 def _forward_recon(model, variables, x, key, seq_mask=None, pix_mask=None,
                    vi_index=None):
     kwargs = {}
+    if _takes(model, "epoch"):
+        # forward's epoch defaults to 100, which still lands in the WARMUP
+        # branch of models trained with warmup >= 100 — evaluation must run
+        # the trained (post-warmup) branch
+        kwargs["epoch"] = 10**9
     if vi_index is not None and _takes(model, "vi_index"):
         # longitudinal models (LVAE_IAF/RIEM families) draw a host-side
         # random visit index when it is omitted — under jit that draw would

@@ -117,7 +117,12 @@ class ExperimentRunner:
         print(f"[rlvae] model: {model.get_model_summary()['configuration']}")
         print(f"[rlvae] data: train={len(data.train)} val={len(data.val)} test={len(data.test)}")
         result = trainer.fit()
-        test_metrics = trainer.evaluate("test", variables=result["variables"])
+        # evaluate the BEST-val checkpoint (variables=None restores it);
+        # fall back to the final weights when no checkpoint was written
+        if trainer.checkpoints.exists("best"):
+            test_metrics = trainer.evaluate("test")
+        else:
+            test_metrics = trainer.evaluate("test", variables=result["variables"])
         logger.log({f"test/{k}": v for k, v in test_metrics.items()})
         self._save_results(
             self.run_dir,
@@ -129,6 +134,7 @@ class ExperimentRunner:
             },
         )
         logger.finish()
+        result["test_metrics"] = test_metrics  # for sweep objective ranking
         return result
 
     def run_comparison_study(self):
@@ -152,7 +158,14 @@ class ExperimentRunner:
             model, data, trainer, logger = self._build(model_cfg, sub_dir, model_name)
             print(f"[rlvae] comparison: training {model_name}")
             result = trainer.fit()
-            test_metrics = trainer.evaluate("test", variables=result["variables"])
+            # evaluate the BEST-val checkpoint (variables=None restores it);
+            # fall back to the final weights when no checkpoint was written
+            if trainer.checkpoints.exists("best"):
+                test_metrics = trainer.evaluate("test")
+            else:
+                test_metrics = trainer.evaluate(
+                    "test", variables=result["variables"]
+                )
             for entry in trainer.history:
                 collector.add_model_metrics(
                     model_name,
@@ -196,8 +209,9 @@ class ExperimentRunner:
             tov = self.config.experiment.get("training_override") or {}
             if "n_epochs" in tov:
                 run_cfg.set("training.trainer.max_epochs", int(tov["n_epochs"]))
-            if "n_train_samples" in tov:
-                run_cfg.set("training.n_train_samples", int(tov["n_train_samples"]))
+            for k in ("n_train_samples", "n_val_samples"):
+                if k in tov:
+                    run_cfg.set(f"training.{k}", int(tov[k]))
             sub = ExperimentRunner.__new__(ExperimentRunner)
             sub.config = run_cfg
             sub.progress_callback = self.progress_callback
@@ -205,11 +219,21 @@ class ExperimentRunner:
             sub.run_dir.mkdir(parents=True, exist_ok=True)
             save_config(run_cfg, sub.run_dir / "config.yaml")
             result = sub.run_single_experiment()
-            results.append(
-                {"run": i, "params": dict(zip(axes.keys(), combo)),
-                 "best_val_loss": result["best_val_loss"]}
-            )
-        results.sort(key=lambda r: r["best_val_loss"])
+            entry = {"run": i, "params": dict(zip(axes.keys(), combo)),
+                     "best_val_loss": result["best_val_loss"]}
+            if objective != "val_loss":
+                entry["objective_value"] = float(
+                    result.get("test_metrics", {}).get(objective, float("nan"))
+                )
+            results.append(entry)
+        # rank by the configured objective metric and goal (the recorded
+        # yaml claims this ranking — honor it)
+        goal = self.config.get("experiment.objective.goal", "minimize")
+        key = "objective_value" if objective != "val_loss" else "best_val_loss"
+        results.sort(
+            key=lambda r: r.get(key, float("inf")),
+            reverse=(goal == "maximize"),
+        )
         self._save_results(self.run_dir, {"objective": objective, "runs": results})
         if results:
             print(f"[rlvae] best sweep run: {results[0]}")
