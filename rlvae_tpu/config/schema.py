@@ -12,7 +12,7 @@ from typing import Any, List, Mapping
 from rlvae_tpu.models.rlvae import LOOP_MODES, POSTERIOR_TYPES
 from rlvae_tpu.samplers import POSTERIOR_METHODS
 
-VALID_SAMPLING = set(POSTERIOR_METHODS) | {"hmc", "enhanced_riemannian"}
+VALID_SAMPLING = set(POSTERIOR_METHODS) | {"enhanced_riemannian"}
 VALID_ARCHS = {"mlp", "cnn", "resnet", "custom"}
 VALID_EXPERIMENTS = {"single", "comparison", "sweep"}
 VALID_VIZ_LEVELS = {"minimal", "basic", "standard", "advanced", "full"}

@@ -38,7 +38,6 @@ import numpy as np
 from rlvae_tpu.geometry.metric import CentroidMetric
 from rlvae_tpu.nets import create_decoder, create_encoder
 from rlvae_tpu.geometry import metric as gm
-from rlvae_tpu.geometry.metric import CentroidMetric
 from rlvae_tpu.ops import linalg as linalg_ops
 from rlvae_tpu.utils.output import ModelOutput
 

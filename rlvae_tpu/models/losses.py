@@ -59,8 +59,9 @@ def riemannian_full_kl(
 
         0.5 (tr(G diag(e^lv)) + mu^T G mu - D + log det G - sum lv)
 
-    with det clamped to [1e-10, 1e10]; non-finite entries fall back to the
-    standard KL branchlessly (the reference's isfinite guard, :1379-1385).
+    with det clamped to [1e-10, 1e10]; if ANY entry is non-finite the WHOLE
+    batch falls back to the standard-KL mean — the reference's all-or-
+    nothing isfinite guard (:1379-1385), reproduced branchlessly.
     """
     lv = jnp.clip(log_var, -LOG_VAR_CLAMP, LOG_VAR_CLAMP)
     g_z = gm.g(metric, z)
@@ -75,7 +76,9 @@ def riemannian_full_kl(
     d = mu.shape[1]
     kl_r = 0.5 * (trace_term + quad - d + log_det_g - jnp.sum(lv, axis=1))
     kl_std = -0.5 * jnp.sum(1.0 + lv - mu**2 - jnp.exp(lv), axis=1)
-    return jnp.mean(jnp.where(jnp.isfinite(kl_r), kl_r, kl_std))
+    return jnp.where(
+        jnp.all(jnp.isfinite(kl_r)), jnp.mean(kl_r), jnp.mean(kl_std)
+    )
 
 
 def flow_loss(log_dets: Array) -> Array:

@@ -377,14 +377,16 @@ class RlVAE:
         adapted to the sequence generative model where z_{t>0} are
         deterministic flow images of z0).
 
-        For the ``riemannian_metric`` posterior the estimator is consistent
-        with the trained objective (unlike a plain standard-normal prior):
-        q(z0|x0) = N(mu, G^{-1}(mu)) — the metric-aware posterior the model
-        actually samples — and p(z0) = sqrt(det G(z0)) / V, the
-        uniform-on-manifold prior the Riemannian KL is derived against
-        (riemannian_flow_vae.py:1004-1077).  The volume V = int sqrt(det G)
-        is estimated once per call by importance sampling over a mixture of
-        Gaussians centered on the metric centroids."""
+        For the ``riemannian_metric`` posterior the importance distribution
+        is q(z0|x0) = N(mu, G^{-1}(mu)) — the metric-aware posterior the
+        model actually samples — while the prior is the standard normal,
+        exactly as the reference's own Riemannian NLL estimator
+        (pythae rhvae_model.py:486-496 ``_log_z`` is N(0, I) even for the
+        RHVAE).  The uniform-on-manifold density sqrt(det G)/V the KL is
+        derived against is NOT usable here: with the lbd*I floor on
+        G^{-1}, int sqrt(det G) dz diverges over R^D, so any Monte-Carlo
+        "volume" is proposal-dependent and the resulting numbers are not
+        comparable across metrics."""
         import math
 
         b, n_obs = x.shape[0], x.shape[1]
@@ -400,8 +402,6 @@ class RlVAE:
             half_logdet_gi_mu = jnp.sum(
                 jnp.log(jnp.diagonal(l_mu, axis1=-2, axis2=-1)), axis=-1
             )  # 0.5 log det G^{-1}(mu)
-            key, k_vol = jax.random.split(key)
-            log_volume = self._log_manifold_volume(k_vol)
         else:
             std = jnp.exp(0.5 * log_var)
 
@@ -415,9 +415,11 @@ class RlVAE:
                     - 0.5 * d * math.log(2 * math.pi)
                     - half_logdet_gi_mu
                 )
-                from rlvae_tpu.geometry import metric as gm
-
-                log_pz = -0.5 * gm.logdet_g_inv(self.metric, z0) - log_volume
+                # standard-normal prior, matching the reference's own
+                # Riemannian NLL (pythae rhvae_model.py:486-496)
+                log_pz = -0.5 * jnp.sum(z0**2, axis=1) - 0.5 * d * math.log(
+                    2 * math.pi
+                )
             else:
                 z0 = mu + eps * std
                 log_qz = (
@@ -442,32 +444,6 @@ class RlVAE:
 
         log_w = jax.lax.map(one_sample, jax.random.split(key, n_samples))  # [S, B]
         return -(jax.scipy.special.logsumexp(log_w, axis=0) - jnp.log(float(n_samples)))
-
-    def _log_manifold_volume(self, key: Array, n_mc: int = 512) -> Array:
-        """log V with V = int sqrt(det G(z)) dz, by importance sampling over a
-        uniform mixture of Gaussians N(c_k, T^2 I) at the metric centroids
-        (the region where the metric deviates from the lbd*I floor)."""
-        import math
-
-        from rlvae_tpu.geometry import metric as gm
-
-        metric = self.metric
-        k_c, k_eps = jax.random.split(key)
-        d = self.latent_dim
-        n_k = metric.n_centroids
-        idx = jax.random.randint(k_c, (n_mc,), 0, n_k)
-        scale = metric.temperature
-        z = metric.centroids[idx] + scale * jax.random.normal(k_eps, (n_mc, d))
-        # mixture density r(z) = 1/K sum_k N(z; c_k, T^2 I)
-        d2 = jnp.sum((z[:, None, :] - metric.centroids[None, :, :]) ** 2, axis=-1)
-        log_comp = -0.5 * d2 / scale**2 - 0.5 * d * (
-            math.log(2 * math.pi) + 2.0 * jnp.log(scale)
-        )
-        log_r = jax.scipy.special.logsumexp(log_comp, axis=1) - jnp.log(float(n_k))
-        log_sqrt_det_g = -0.5 * gm.logdet_g_inv(metric, z)
-        return jax.scipy.special.logsumexp(log_sqrt_det_g - log_r) - jnp.log(
-            float(n_mc)
-        )
 
     # -- introspection -------------------------------------------------------
 
@@ -501,8 +477,17 @@ class RlVAE:
             if self.metric is None
             else {
                 "n_centroids": self.metric.n_centroids,
-                "temperature": float(self.metric.temperature),
-                "regularization": float(self.metric.regularization),
+                # one device_get for both scalars (per-scalar float() is a
+                # ~ms tunnel round-trip each, CLAUDE.md)
+                **{
+                    k: float(v)
+                    for k, v in jax.device_get(
+                        {
+                            "temperature": self.metric.temperature,
+                            "regularization": self.metric.regularization,
+                        }
+                    ).items()
+                },
             },
         }
         if variables is not None:

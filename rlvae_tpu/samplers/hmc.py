@@ -120,7 +120,15 @@ def sample_prior_hmc(
 
         logpi, _ = terms(z)
         h = -logpi + 0.5 * jnp.sum(rho**2, axis=1)
-        alpha = jnp.exp(-h) / jnp.exp(-h0)
+        if config.init == "centroids":
+            # official pythae form, unguarded (rhvae_sampler.py:140-141)
+            alpha = jnp.exp(-h) / jnp.exp(-h0)
+        else:
+            # custom-sampler form (hmc_sampler.py:155-158): the +1e-10 guard
+            # matters when exp(-h0) underflows (h0 > ~88): the reference
+            # then accepts (alpha clamps to 1) where the unguarded form
+            # gives nan -> permanent rejection
+            alpha = jnp.clip(jnp.exp(-h) / (jnp.exp(-h0) + 1e-10), 0.0, 1.0)
         accept = jax.random.uniform(k_acc, (z.shape[0],)) < alpha
         mask = accept[:, None]
         z_new = jnp.where(mask, z, z0_s)

@@ -35,7 +35,9 @@ from rlvae_tpu.ops import linalg as _lin
 
 Array = jax.Array
 
-POSTERIOR_METHODS = ("standard", "basic", "enhanced", "geodesic", "official")
+POSTERIOR_METHODS = (
+    "standard", "basic", "enhanced", "geodesic", "official", "hmc"
+)
 PRIOR_METHODS = ("geodesic", "centroid_aware", "weighted_mixture", "basic")
 
 
