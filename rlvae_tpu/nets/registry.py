@@ -64,6 +64,7 @@ def create_encoder(
             kernel_size=int(_get(config, "kernel_size", default=3)),
             stride=int(_get(config, "stride", default=2)),
             dropout=float(_get(config, "dropout", default=0.1)),
+            dtype=_dtype(config),
         )
     if arch == "resnet":
         return ResNetEncoder(
@@ -72,6 +73,7 @@ def create_encoder(
             hidden_dims=tuple(_get(config, "layers", "hidden_dims", default=(64, 128, 256, 512))),
             num_blocks=tuple(_get(config, "num_blocks", default=(2, 2, 2, 2))),
             dropout=float(_get(config, "dropout", default=0.1)),
+            dtype=_dtype(config),
         )
     raise ValueError(f"Unknown encoder architecture: {arch}")
 
@@ -101,6 +103,7 @@ def create_decoder(
             kernel_size=int(_get(config, "kernel_size", default=3)),
             stride=int(_get(config, "stride", default=2)),
             dropout=float(_get(config, "dropout", default=0.1)),
+            dtype=_dtype(config),
         )
     if arch == "resnet":
         return ResNetDecoder(
@@ -109,5 +112,6 @@ def create_decoder(
             hidden_dims=tuple(_get(config, "layers", "hidden_dims", default=(512, 256, 128, 64))),
             num_blocks=tuple(_get(config, "num_blocks", default=(2, 2, 2, 2))),
             dropout=float(_get(config, "dropout", default=0.1)),
+            dtype=_dtype(config),
         )
     raise ValueError(f"Unknown decoder architecture: {arch}")

@@ -96,7 +96,15 @@ class ResNetDecoder(nn.Module):
     ) -> ModelOutput:
         c, height, width = self.input_dim
         n = len(self.hidden_dims)
-        h0, w0 = height // (2**n), width // (2**n)
+        # n+1 stride-2 stages follow (up0 + (n-1) loop ups + final), so the
+        # seed grid is H/2^(n+1).  NB deliberate deviation: the reference's
+        # own resnet decoder seeds at H/2^n before the same n+1 doublings
+        # (decoder_manager.py:155-231), so it returns 2x the configured
+        # size and would crash its own training loop on the MSE shape
+        # mismatch — here the output matches input_dim exactly.  For tiny
+        # images (H < 2^(n+1)) the seed floors at 1 and the final crop
+        # trims the overshoot.
+        h0, w0 = max(1, height // (2 ** (n + 1))), max(1, width // (2 ** (n + 1)))
 
         out = z.astype(self.dtype)
         out = nn.relu(nn.Dense(1024, dtype=self.dtype, name="head_0")(out))
@@ -132,5 +140,6 @@ class ResNetDecoder(nn.Module):
         out = nn.ConvTranspose(
             c, (4, 4), strides=(2, 2), padding="SAME", dtype=jnp.float32, name="final",
         )(out)
+        out = out[:, :height, :width, :]  # trim the tiny-image overshoot
         recon = jnp.transpose(out, (0, 3, 1, 2))  # NHWC -> NCHW
         return ModelOutput(reconstruction=recon)

@@ -44,4 +44,8 @@ def resolve_num_devices(devices_config) -> int:
         return 1  # reference default: single device
     if devices_config == "all":
         return jax.device_count()
-    return max(1, int(devices_config))
+    # clamp to the real device count: create_mesh truncates its device list
+    # to what exists, so an un-clamped request would leave Trainer.n_devices
+    # disagreeing with mesh.shape['data'] and silently corrupt the
+    # sharded-epoch batch/step math
+    return max(1, min(int(devices_config), jax.device_count()))

@@ -99,19 +99,11 @@ def _step_body(model, optimizer, variables, opt_state, batch, key,
     metrics["grad_norm"] = optax.global_norm(grads)
     updates, opt_state = optimizer.update(grads, opt_state, variables["params"])
     new_params = optax.apply_updates(variables["params"], updates)
-    if pmean_axis is None:
-        variables = _merge_stats({**variables, "params": new_params}, out)
-    else:
-        variables = {**variables, "params": new_params}
-        if "state_updates" in out:
-            # BN running stats are per-shard; average them so every replica
-            # carries identical state
-            upd = jax.lax.pmean(out["state_updates"], pmean_axis)
-            stats = dict(variables["stats"])
-            for k in ("encoder", "decoder"):
-                if upd.get(k):
-                    stats[k] = upd[k]
-            variables = {**variables, "stats": stats}
+    if pmean_axis is not None and "state_updates" in out:
+        # BN running stats are per-shard; average them so every replica
+        # carries identical state
+        out = {**out, "state_updates": jax.lax.pmean(out["state_updates"], pmean_axis)}
+    variables = _merge_stats({**variables, "params": new_params}, out)
     return variables, opt_state, metrics
 
 
@@ -381,9 +373,10 @@ class Trainer:
                             self.logger.log(host, step=step)
                             self.callbacks.on_train_step_end(self.cfg, step=step, logs=host)
                             self.callbacks.on_log(self.cfg, host, step=step)
-                    train_metrics.append(
-                        {k: float(v[-1]) for k, v in fetched.items()}
-                    )
+                    if n_steps:  # dataset smaller than the batch: no steps ran
+                        train_metrics.append(
+                            {k: float(v[-1]) for k, v in fetched.items()}
+                        )
                 else:
                     for device_batch in _device_prefetch(
                         self.data.train_batches(epoch), bsharding, self.n_devices
@@ -427,7 +420,10 @@ class Trainer:
                 **{f"val/{k}": v for k, v in val_metrics.items()},
             }
             if train_metrics:
-                last = train_metrics[-1]
+                # one transfer for the dict (per-scalar float() is a ~ms
+                # tunnel round-trip each); no-op for the epoch-jit path,
+                # whose entries are already host floats
+                last = jax.device_get(train_metrics[-1])
                 epoch_summary.update({f"train/{k}": float(v) for k, v in last.items()})
             self.logger.log(epoch_summary, step=step)
             self.history.append(epoch_summary)
@@ -553,6 +549,7 @@ class Trainer:
         key = key if key is not None else jax.random.PRNGKey(0)
         batches = self.data.val_batches() if split == "val" else self.data.test_batches()
         acc: Dict[str, list] = {}
+        weights: list = []
         from rlvae_tpu.parallel import shard_batch
 
         for i, batch in enumerate(batches):
@@ -566,10 +563,16 @@ class Trainer:
             metrics = jax.device_get(
                 self._eval_step(variables, device_batch, jax.random.fold_in(key, i))
             )
+            weights.append(batch.shape[0])
             for k, v in metrics.items():
                 acc.setdefault(k, []).append(float(v))
             self.callbacks.call_event(
                 "on_eval_step_end", self.cfg, step=i,
                 logs={k: float(v) for k, v in metrics.items()},
             )
-        return {k: float(np.mean(v)) for k, v in acc.items()}
+        # per-batch means weighted by batch size: a kept remainder batch
+        # must not count as much as a full one (val_loss drives checkpoint
+        # selection, plateau LR, and early stopping)
+        return {
+            k: float(np.average(v, weights=weights)) for k, v in acc.items()
+        }

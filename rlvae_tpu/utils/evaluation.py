@@ -85,7 +85,7 @@ def evaluate_reconstruction(
             x = jnp.asarray(data[i : i + batch_size])
             vi = int(vi_rng.integers(model.n_obs)) if vi_rng is not None else None
             sums.append(
-                batch_sq_err(variables, x, jax.random.fold_in(key, r * 1000 + i), vi)
+                batch_sq_err(variables, x, jax.random.fold_in(jax.random.fold_in(key, r), i), vi)
             )
         total = jax.device_get(sums)
         n_frames = data.shape[0] * data.shape[1]
@@ -143,7 +143,7 @@ def evaluate_missing(
                 batch_missing_sums(
                     variables,
                     jnp.asarray(data[i : i + batch_size]),
-                    jax.random.fold_in(key, r * 1000 + i),
+                    jax.random.fold_in(jax.random.fold_in(key, r), i),
                     jnp.asarray(seq_mask[i : i + batch_size]),
                     jnp.asarray(pix_mask[i : i + batch_size]),
                     vi,

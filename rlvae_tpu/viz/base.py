@@ -9,22 +9,43 @@ from typing import List, Optional
 import numpy as np
 
 
+class SharedForward:
+    """One jitted forward + one per-epoch result shared by every viz module.
+
+    All modules call ``forward(model, variables, x, PRNGKey(epoch))`` with
+    identical arguments inside one ``visualize_epoch``, so without sharing
+    each enabled module would pay its own compile AND its own device
+    dispatch of the same program every viz epoch (4x at the full level).
+    The manager resets the memo at the start of each epoch."""
+
+    def __init__(self):
+        self._jit = None
+        self._memo = None
+
+    def reset(self) -> None:
+        self._memo = None
+
+    def __call__(self, model, variables, x, key):
+        import jax
+        import jax.numpy as jnp
+
+        if self._memo is None:
+            if self._jit is None:
+                self._jit = jax.jit(lambda v, xx, k: model.forward(v, xx, k))
+            self._memo = self._jit(variables, jnp.asarray(x), key)
+        return self._memo
+
+
 class BaseVisualization:
     def __init__(self, config, output_dir: Path, logger=None):
         self.config = config
         self.output_dir = Path(output_dir)
         self.logger = logger
-        self._jit_forward = None
+        self._forward = SharedForward()  # replaced by the manager's shared one
 
     def forward(self, model, variables, x, key):
-        """Jitted model forward, compiled once per module (an eager forward
-        here would re-dispatch hundreds of ops on every viz epoch)."""
-        import jax
-        import jax.numpy as jnp
-
-        if self._jit_forward is None:
-            self._jit_forward = jax.jit(lambda v, xx, k: model.forward(v, xx, k))
-        return self._jit_forward(variables, jnp.asarray(x), key)
+        """Model forward through the (manager-)shared jitted+memoized path."""
+        return self._forward(model, variables, x, key)
 
     def _path(self, epoch: int, name: str, ext: str = "png") -> Path:
         d = self.output_dir / f"epoch_{epoch:03d}"

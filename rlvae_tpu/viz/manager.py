@@ -67,7 +67,12 @@ class VisualizationManager:
         self.output_dir = Path(output_dir)
         self.logger = logger
         self.modules: List[Any] = []
+        from rlvae_tpu.viz.base import SharedForward
+
+        self._shared_forward = SharedForward()
         self._build_modules()
+        for module, _ in self.modules:
+            module._forward = self._shared_forward
 
     def _build_modules(self) -> None:
         from rlvae_tpu.viz.basic import BasicVisualizations
@@ -103,6 +108,8 @@ class VisualizationManager:
         """Run due modules for this epoch; returns written artifact paths."""
         if self.config.frequency <= 0 or epoch % self.config.frequency != 0:
             return []
+        # new epoch -> new params: drop the shared memoized forward result
+        self._shared_forward.reset()
         written: List[Path] = []
         for module, freq in self.modules:
             if freq > 0 and epoch % freq == 0:

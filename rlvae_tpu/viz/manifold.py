@@ -112,7 +112,9 @@ class ManifoldVisualizations(BaseVisualization):
         # column per shown timestep — flow-evolved latents over the local
         # sqrt(det G^{-1}) field in the timestep's own PCA neighborhood
         t_show = list(range(0, z.shape[1], max(1, z.shape[1] // 4)))[:4]
-        fig, axes = plt.subplots(2, len(t_show), figsize=(4 * len(t_show), 7.5))
+        fig, axes = plt.subplots(
+            2, len(t_show), figsize=(4 * len(t_show), 7.5), squeeze=False
+        )
         for col, t in enumerate(t_show):
             zt = z_proj.reshape(z.shape[0], z.shape[1], 2)[:, t]
             ax0 = axes[0, col]

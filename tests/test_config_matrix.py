@@ -51,3 +51,27 @@ def test_every_viz_config_builds_manager(viz, tmp_path):
 def test_every_experiment_config_composes(experiment):
     cfg = compose(CONF, overrides=[f"experiment={experiment}"])
     assert cfg.experiment.type in ("single", "comparison", "sweep")
+
+
+@pytest.mark.parametrize("arch", ["mlp", "cnn", "resnet"])
+def test_decoder_output_matches_input_dim(arch):
+    """Every decoder arch must reconstruct at EXACTLY the configured size.
+    Regression: the resnet decoder once inherited the reference's own shape
+    bug (decoder_manager.py:155-231 runs n+1 stride-2 stages from an H/2^n
+    seed, returning 2x the configured size — which would crash the MSE)."""
+    import jax.numpy as jnp
+
+    from rlvae_tpu.nets import create_decoder, create_encoder
+
+    for dim in ((3, 64, 64), (3, 8, 8)):
+        if arch == "cnn" and dim[1] < 16:
+            continue  # 4 stride-2 conv stages need >=16px
+        enc = create_encoder(dim, 16, {"architecture": arch})
+        dec = create_decoder(dim, 16, {"architecture": arch})
+        z = jnp.zeros((2, 16))
+        ev = enc.init(jax.random.PRNGKey(0), jnp.zeros((2, *dim)))
+        out_e = enc.apply(ev, jnp.zeros((2, *dim)))
+        assert out_e.embedding.shape == (2, 16)
+        dv = dec.init(jax.random.PRNGKey(0), z)
+        out = dec.apply(dv, z)
+        assert out.reconstruction.shape == (2, *dim), (arch, dim)

@@ -347,3 +347,33 @@ def test_multihost_staging_parity_8_devices():
     # determinism across "hosts": same seed -> identical global perm content
     a = np.asarray(epoch_perm(mesh, 7, 0, steps, local_bs, n_local))
     np.testing.assert_array_equal(a, perm_np)
+
+
+def test_resolve_num_devices_clamps_to_available():
+    """A devices request beyond the host's real count must clamp (an
+    unclamped value would disagree with the mesh create_mesh actually
+    builds and corrupt the sharded-epoch batch/step math)."""
+    from rlvae_tpu.parallel import resolve_num_devices
+
+    assert resolve_num_devices(64) == jax.device_count()
+    assert resolve_num_devices(1) == 1
+    assert resolve_num_devices("all") == jax.device_count()
+    assert resolve_num_devices(None) == 1
+
+
+def test_fit_dataset_smaller_than_batch(tmp_path):
+    """A dataset smaller than the batch size yields zero steps per epoch;
+    fit() must survive (regression: the epoch-jit path crashed indexing
+    the empty stacked metrics)."""
+    cfg = {
+        **TRAIN_CFG,
+        "trainer": {**TRAIN_CFG["trainer"], "max_epochs": 1},
+        "data": {"batch_size": 32},
+        "n_train_samples": 4,
+        "n_val_samples": 8,
+    }
+    data = CyclicDataModule(DATA_CFG)
+    data.setup(cfg)
+    t = Trainer(_tiny_model(), data, cfg, run_dir=tmp_path)
+    result = t.fit()
+    assert np.isfinite(result["best_val_loss"])
