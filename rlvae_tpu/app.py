@@ -165,12 +165,22 @@ class DashboardBuilder:
         data = yaml.safe_load(results.read_text())
         if not isinstance(data, dict) or "comparison" not in data:
             return
+        finals = {
+            m: {k: v for k, v in met.items() if k.endswith("_final")}
+            for m, met in data["comparison"].items()
+        }
+        if not finals:
+            return
+        # one column set for every row: the union of all models' metrics
+        # (models can report different sets; per-model headers misalign)
+        cols = sorted({k for f in finals.values() for k in f})
+        header = "".join(f"<th>{html.escape(k)}</th>" for k in cols)
         rows = []
-        for model_name, metrics in data["comparison"].items():
-            finals = {k: v for k, v in metrics.items() if k.endswith("_final")}
-            cells = "".join(f"<td>{v:.4g}</td>" for v in finals.values())
+        for model_name, f in finals.items():
+            cells = "".join(
+                f"<td>{f[k]:.4g}</td>" if k in f else "<td>—</td>" for k in cols
+            )
             rows.append(f"<tr><th>{html.escape(model_name)}</th>{cells}</tr>")
-            header = "".join(f"<th>{html.escape(k)}</th>" for k in finals)
         table = f"<table border=1 cellpadding=4><tr><th>model</th>{header}</tr>{''.join(rows)}</table>"
         self.add("Model comparison", table)
 
@@ -226,7 +236,9 @@ def build_report(
             full = yaml.safe_load((run_dir / "config.yaml").read_text())
             cfg = full.get("model")
             data_cfg = full.get("data", {})
-            dm = CyclicDataModule(data_cfg)
+            # use the run's own top-level seed so the sample batch matches
+            # the data the model actually validated on
+            dm = CyclicDataModule(data_cfg, seed=int(full.get("seed", 42)))
             dm.setup(full.get("training", {}))
             sample = dm.get_sample_batch("val", n_samples)
         if cfg is not None and (run_dir / "checkpoints" / "best").exists():

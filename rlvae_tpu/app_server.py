@@ -138,11 +138,16 @@ class AppState:
         from rlvae_tpu.inference import ModelManager
 
         with self._lock:
-            if run_name not in self._managers:
-                self._managers[run_name] = ModelManager.from_run(
-                    self.outputs_dir / run_name
-                )
-            return self._managers[run_name]
+            m = self._managers.get(run_name)
+        if m is None:
+            # build OUTSIDE the lock: checkpoint restore + first jit can
+            # take tens of seconds, and holding the shared lock for that
+            # long freezes every other API request; two concurrent first
+            # requests may both build, setdefault publishes exactly one
+            m = ModelManager.from_run(self.outputs_dir / run_name)
+            with self._lock:
+                m = self._managers.setdefault(run_name, m)
+        return m
 
     def sample_batch(self, run_name: str, n: int = 4) -> np.ndarray:
         import yaml
@@ -158,12 +163,16 @@ class AppState:
             full = yaml.safe_load(
                 (self.outputs_dir / run_name / "config.yaml").read_text()
             )
+            # the run seed is stored TOP-LEVEL in config.yaml
+            # (conf/config.yaml:21, run_experiment.py reads config['seed'])
             dm = CyclicDataModule(
-                full.get("data", {}), seed=int(full.get("run", {}).get("seed", 42))
+                full.get("data", {}), seed=int(full.get("seed", 42))
             )
             dm.setup(full.get("training", {}))
             with self._lock:
-                self._data_modules[run_name] = dm
+                # a concurrent request may have published one meanwhile;
+                # keep the first so every caller shares the same module
+                dm = self._data_modules.setdefault(run_name, dm)
         return dm.get_sample_batch("val", n)
 
 

@@ -363,10 +363,10 @@ class RIEM:
         """Sample terminal latents and run the dynamics backward through the
         whole sequence, decoding every visit (riem_model.py:793-954)."""
         params = variables["params"]
-        k_z, k_e = jax.random.split(key)
+        k_z, k_m, k_e = jax.random.split(key, 3)
         z = jax.random.normal(k_z, (n, self.latent_dim))
         if self.metric is not None:
-            z = sample_with_metric(self.metric, k_e, z, self.beta_zero_sqrt)
+            z = sample_with_metric(self.metric, k_m, z, self.beta_zero_sqrt)
         z_seq = self._evolve(params, k_e, z, self.n_obs - 1)
         recon = self.decoder.apply(
             {"params": params["decoder"]},

@@ -230,10 +230,21 @@ class ExperimentRunner:
         # yaml claims this ranking — honor it)
         goal = self.config.get("experiment.objective.goal", "minimize")
         key = "objective_value" if objective != "val_loss" else "best_val_loss"
-        results.sort(
-            key=lambda r: r.get(key, float("inf")),
-            reverse=(goal == "maximize"),
-        )
+        worst = float("-inf") if goal == "maximize" else float("inf")
+
+        def rank_of(r):
+            # NaN (objective metric missing from the run's test metrics)
+            # must rank WORST — raw NaN keys make Python's sort order
+            # arbitrary, turning "best sweep run" into noise
+            v = r.get(key, worst)
+            return worst if v != v else v
+
+        if any(rank_of(r) == worst for r in results):
+            print(
+                f"[rlvae] WARNING: objective '{objective}' missing from some "
+                "runs' test metrics; those runs rank last"
+            )
+        results.sort(key=rank_of, reverse=(goal == "maximize"))
         self._save_results(self.run_dir, {"objective": objective, "runs": results})
         if results:
             print(f"[rlvae] best sweep run: {results[0]}")

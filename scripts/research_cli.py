@@ -169,40 +169,67 @@ def main(argv=None):
     import inspect
 
     # GP-VAE's forward has no epoch/warmup notion; the longitudinal models do
-    takes_epoch = "epoch" in inspect.signature(model.forward).parameters
+    fwd_params = inspect.signature(model.forward).parameters
+    takes_epoch = "epoch" in fwd_params
+    takes_vi = "vi_index" in fwd_params
+    # epoch only matters through the warmup branch and the linear beta
+    # schedule, both constant from max(warmup, linear_scheduling) on —
+    # clamping the static arg there stops the one-retrace-per-epoch cost
+    # once the schedule saturates
+    saturate = max(
+        int(getattr(model, "warmup", 0) or 0),
+        int(getattr(model, "linear_scheduling", 0) or 0),
+    )
 
-    def loss_fn(params, batch, k, epoch, sm, pm):
+    def loss_fn(params, batch, k, epoch, vi, sm, pm):
         kwargs = dict(train=True, seq_mask=sm, pix_mask=pm)
         if takes_epoch:
             kwargs["epoch"] = epoch
+        if vi is not None:
+            kwargs["vi_index"] = vi
         out = model.forward({**variables, "params": params}, batch, k, **kwargs)
         return out.loss, out
 
     import functools
 
-    # epoch is static: the research models branch on epoch<warmup and bake
-    # the scheduled beta in as a constant (at most one retrace per epoch)
-    @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, k, epoch, sm, pm):
+    # epoch and vi_index are static: the research models branch on
+    # epoch<warmup, bake the scheduled beta in as a constant, and unroll
+    # the flow propagation around the (python-int) visit index
+    @functools.partial(jax.jit, static_argnums=(4, 5), donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, k, epoch, vi, sm, pm):
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch, k, epoch, sm, pm
+            params, batch, k, epoch, vi, sm, pm
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     params = variables["params"]
     n_steps = train.shape[0] // args.batch_size
+    n_obs = train.shape[1]
+    vi_rng = np.random.default_rng(args.seed + 17)
     history = []
     t0 = time.time()
     for epoch in range(args.num_epochs):
         perm = np.random.default_rng(args.seed + epoch).permutation(train.shape[0])
         losses = []
+        model_epoch = min(epoch, saturate)
         for s in range(n_steps):
             idx = perm[s * args.batch_size : (s + 1) * args.batch_size]
             key, k = jax.random.split(key)
+            # per-STEP uniform visit draw, matching the reference's
+            # per-batch vi_index (lvae_iaf_model.py:210) — left to the
+            # model's in-forward default it would bake ONE host draw into
+            # the epoch's trace (same visit for every step, zero KL signal
+            # on ~ (n_obs-2)/n_obs of epochs); warmup forwards ignore it,
+            # so pin 0 there to avoid retraces
+            vi = (
+                int(vi_rng.integers(0, n_obs))
+                if takes_vi and epoch >= int(getattr(model, "warmup", 0) or 0)
+                else (0 if takes_vi else None)
+            )
             params, opt_state, loss = train_step(
                 params, opt_state, jnp.asarray(train[idx]), k,
-                epoch, jnp.asarray(seq_mask[idx]), jnp.asarray(pix_mask[idx]),
+                model_epoch, vi, jnp.asarray(seq_mask[idx]), jnp.asarray(pix_mask[idx]),
             )
             losses.append(loss)  # device scalar; fetched once per epoch
         losses = [float(v) for v in jax.device_get(losses)]

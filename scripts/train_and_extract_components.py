@@ -104,8 +104,9 @@ def main():
             key, k_s = jax.random.split(key)
             batch = jnp.asarray(frames[perm[b * bs : (b + 1) * bs]])
             params, opt_state, loss = step(params, opt_state, batch, k_s)
-            losses.append(float(loss))
+            losses.append(loss)  # device scalar; fetched once per epoch
         if epoch % 10 == 0 or epoch == args.epochs - 1:
+            losses = jax.device_get(losses)
             print(f"[vae] epoch {epoch}: loss {np.mean(losses):.3f}")
 
     args.out_dir.mkdir(parents=True, exist_ok=True)
