@@ -64,6 +64,17 @@ def _weights_slab(z_ref, c_ref, inv_t2, d: int, k_real: int, k_pad: int, tb: int
     return w
 
 
+def _finish_weights(cz, zt, c2_ref, inv_t2, k_real: int, k_pad: int, tb: int):
+    """exp(-d2/T^2) from the cross-term slab cz = c~.z~ (padding masked)."""
+    z2 = jnp.sum(zt * zt, axis=0, keepdims=True)  # [1, TB]
+    d2 = jnp.maximum(c2_ref[...] - 2.0 * cz + z2, 0.0)
+    w = jnp.exp(-d2 * inv_t2)
+    if k_pad != k_real:
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (k_pad, tb), 0)
+        w = jnp.where(k_idx < k_real, w, 0.0)
+    return w
+
+
 def _weights_slab_mxu(
     z_ref, c_ref, c2_ref, mean_ref, inv_t2, d: int, k_real: int, k_pad: int, tb: int
 ):
@@ -78,19 +89,52 @@ def _weights_slab_mxu(
     |c~|^2 are precomputed at trace time (_prep)."""
     zt = z_ref[...] - mean_ref[...]  # [D, TB]
     cz = jax.lax.dot_general(
-        c_ref[...],  # centered centroids [D, K_pad]
-        zt,
-        (((0,), (0,)), ((), ())),
+        c_ref[...], zt, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGHEST,  # 6 bf16 MXU passes
     )  # [K_pad, TB]
-    z2 = jnp.sum(zt * zt, axis=0, keepdims=True)  # [1, TB]
-    d2 = jnp.maximum(c2_ref[...] - 2.0 * cz + z2, 0.0)
-    w = jnp.exp(-d2 * inv_t2)
-    if k_pad != k_real:
-        k_idx = jax.lax.broadcasted_iota(jnp.int32, (k_pad, tb), 0)
-        w = jnp.where(k_idx < k_real, w, 0.0)
-    return w
+    return _finish_weights(cz, zt, c2_ref, inv_t2, k_real, k_pad, tb)
+
+
+def _weights_slab_mxu3x(
+    z_ref, ch_ref, cl_ref, c2_ref, mean_ref, inv_t2,
+    d: int, k_real: int, k_pad: int, tb: int,
+):
+    """Centered MXU expansion with a manual bf16_3x cross term — BENCHMARK
+    ONLY, measured and REJECTED (round 3, scripts/bench_mxu_dist.py):
+
+    - accuracy: dropping the lo*lo term leaves ~sum_D (spread*2^-8)^2 ~
+      2e-3 ABSOLUTE error in d2, which exp(-d2/T^2) amplifies by 1/T^2 —
+      measured g_inv scaled max err 3.97e-3 vs 1.95e-6 for the HIGHEST
+      arm: three decades outside the parity gates (HIGHEST's passes 4-6
+      are exactly the lo*lo coverage this drops);
+    - speed: 1666us vs the HIGHEST arm's 1709us at B=8192/TB=512 — the
+      6->3 pass cut recovers ~2.5%, proving the distance matmul is NOT
+      where the mxu arm spends its time (the weighted-sum matmul +
+      unrolled Cholesky dominate), so no accuracy fix could make this
+      path win either.
+
+    Kept importable so the A/B stays reproducible; never enable in
+    production paths.  (Mosaic lowers only DEFAULT/HIGHEST dot precisions,
+    hence the manual hi/lo split: bf16 hi + bf16 lo residual, hi*hi +
+    hi*lo + lo*hi, centroid splits precomputed at trace time, adds
+    sequenced for the TB=2048 scoped-VMEM budget — still 40KB over, so
+    the high arm runs at TB<=1792.)"""
+    zt = z_ref[...] - mean_ref[...]  # [D, TB]
+    zh = zt.astype(jnp.bfloat16)
+    zl = (zt - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot_kt(a, b):  # [D, K_pad] x [D, TB] -> [K_pad, TB], one bf16 pass
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    cz = dot_kt(ch_ref[...], zh)
+    cz = cz + dot_kt(ch_ref[...], zl)
+    cz = cz + dot_kt(cl_ref[...], zh)
+    return _finish_weights(cz, zt, c2_ref, inv_t2, k_real, k_pad, tb)
 
 
 def _gi_cols(m_ref, w, lbd, d: int, tb: int):
@@ -173,7 +217,11 @@ def _bundle_kernel(
     # the centered-expansion operands (cc, c2, mean) are only passed when
     # mxu_dist is set — the default path ships no unused VMEM buffers
     inv_t2, lbd = scal_ref[0, 0], scal_ref[0, 1]
-    if mxu_dist:
+    if mxu_dist == "high":
+        ch_ref, cl_ref, c2_ref, mean_ref, gi_ref, l_ref, ld_ref, g_ref = rest
+        w = _weights_slab_mxu3x(z_ref, ch_ref, cl_ref, c2_ref, mean_ref,
+                                inv_t2, d, k_real, k_pad, tb)
+    elif mxu_dist:
         cc_ref, c2_ref, mean_ref, gi_ref, l_ref, ld_ref, g_ref = rest
         w = _weights_slab_mxu(z_ref, cc_ref, c2_ref, mean_ref, inv_t2,
                               d, k_real, k_pad, tb)
@@ -295,14 +343,15 @@ def g_inv_pallas(
 @functools.partial(jax.jit, static_argnames=("tb", "interpret", "mxu_dist"))
 def metric_bundle_pallas(
     metric: CentroidMetric, z: jax.Array, tb: int | None = None,
-    interpret: bool | None = None, mxu_dist: bool = False,
+    interpret: bool | None = None, mxu_dist: bool | str = False,
 ) -> ModelOutput:
     """Fused (G^{-1}, chol(G^{-1}), logdet G^{-1}, G) in one kernel.
 
     ``mxu_dist=True`` routes the distance computation through the centered
-    MXU expansion (_weights_slab_mxu) — pass it EXPLICITLY in A/B runs so
-    each arm compiles its own program (static arg; see the trace-time A/B
-    trap in CLAUDE.md)."""
+    MXU expansion (_weights_slab_mxu) at Precision.HIGHEST;
+    ``mxu_dist="high"`` uses Precision.HIGH (bf16_3x, half the MXU
+    passes).  Pass it EXPLICITLY in A/B runs so each arm compiles its own
+    program (static arg; see the trace-time A/B trap in CLAUDE.md)."""
     b, d, k, k_pad, tb, b_pad, z_t, c_t, m_t = _prep(metric, z, tb)
     extra_in = ()
     extra_specs = []
@@ -310,9 +359,16 @@ def metric_bundle_pallas(
         mean_t = jnp.mean(metric.centroids, axis=0).astype(jnp.float32).reshape(d, 1)
         cc_t = c_t - mean_t  # centered (padded columns masked in-kernel)
         c2_t = jnp.sum(cc_t * cc_t, axis=0).reshape(k_pad, 1)
-        extra_in = (cc_t, c2_t, mean_t)
-        extra_specs = [
-            pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        cspec = pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        if mxu_dist == "high":
+            ch_t = cc_t.astype(jnp.bfloat16)
+            cl_t = (cc_t - ch_t.astype(jnp.float32)).astype(jnp.bfloat16)
+            extra_in = (ch_t, cl_t, c2_t, mean_t)
+            extra_specs = [cspec, cspec]
+        else:
+            extra_in = (cc_t, c2_t, mean_t)
+            extra_specs = [cspec]
+        extra_specs += [
             pl.BlockSpec((k_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
