@@ -256,8 +256,21 @@ def main(argv=None):
 
     if "reference" in curves and "ours" in curves:
         ref, ours = curves["reference"], curves["ours"]
+        import subprocess
+
+        try:
+            commit = subprocess.run(
+                ["git", "-C", str(ROOT), "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        except Exception:
+            commit = "unknown"
         summary = {
             "epochs": args.epochs,
+            # provenance: the gating test is an artifact gate (the torch
+            # side takes hours at flagship shape) — regenerate after
+            # touching the flow/loss/posterior math
+            "generated_at_commit": commit,
             "shape": {"T": T, "n_flows": N_FLOWS, "input": INPUT_DIM,
                       "latent": LATENT, "n_seq": args.n_seq, "batch": args.batch},
             "final_log10_latent_last_norm": {

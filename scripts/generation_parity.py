@@ -188,8 +188,21 @@ def main(argv=None):
             encoder_features(enc, x_t0), encoder_features(enc, x_rand)
         ),
     }
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "-C", str(ROOT), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
     summary = {
         "n_samples": args.n,
+        # provenance: which code produced this artifact (the gating test is
+        # an artifact gate, not a live regression gate — regenerate with
+        # this script after touching the chain/decoder math)
+        "generated_at_commit": commit,
         "chain": {"mcmc_steps": MCMC_STEPS, "n_lf": N_LF, "init": "centroids"},
         "frechet": {k: float(v) for k, v in fd.items()},
         "chain_stats": {"ours": ours_stats, "torch_seed0": stats_t0,

@@ -14,6 +14,12 @@ reference final |z_T| = 10^11.70 (max 10^12.01), ours 10^11.83
 (max 10^12.85); final mean log10 det G 30.95 vs 31.05.  The latent-norm
 explosion is a property of the reference model family
 (src/models/riemannian_flow_vae.py:788-1246), not an implementation gap.
+
+NB: this is an ARTIFACT gate, not a live regression gate — the torch side
+takes hours at flagship shape, so the artifact is committed and carries a
+``generated_at_commit`` provenance field; regenerate with the script after
+touching the flow/loss/posterior math.  The LIVE (training-both-sides)
+regression gate at toy shape is tests/test_curve_parity.py.
 """
 
 import json

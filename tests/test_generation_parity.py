@@ -10,6 +10,11 @@ Recorded 2026-08-17: Fréchet ours-vs-torch 0.83 pixel / 0.48 encoder space,
 vs a 0.54 / 0.28 torch-seed-to-seed noise floor and 4.08 / 2.55 against
 decoded N(0, 4I) latents; accept rate 0.047 vs 0.049; mean final log pi
 3.87 vs 4.08 (seed spread 3.69-4.08).
+
+NB: an ARTIFACT gate (the torch chain takes minutes-to-tens-of-minutes on
+this 1-core host) — the committed summary carries a ``generated_at_commit``
+provenance field; regenerate with the script after touching the HMC chain,
+metric, or decoder math.
 """
 
 import json

@@ -397,6 +397,17 @@ def test_lvae_iaf_torch_parity(reference_available):
     a, b = float(loss), float(ref_out.loss)
     assert abs(a - b) / (abs(b) + 1e-3) < 2e-2, f"loss: ours={a} ref={b}"
 
+    # the PRODUCTION forward's loss assembly must match too (the re-derived
+    # loss above pins the subcomponents; this pins the shipped glue —
+    # kld sign, beta weighting, log-det handling).  Pin z = mu through the
+    # overridable sampling hook, mirroring the torch _sample_gauss pin.
+    ours.sample_visit_latent = lambda p, k, mu, lv, vi: mu
+    out = ours.forward(variables, x, jax.random.PRNGKey(0), vi_index=vi, epoch=50)
+    a_fwd = float(out.loss)
+    assert abs(a_fwd - b) / (abs(b) + 1e-3) < 2e-2, (
+        f"forward loss: ours={a_fwd} ref={b}"
+    )
+
 
 # -- LVAE_GUGUS -------------------------------------------------------------------
 
@@ -568,9 +579,11 @@ def test_lldm_warmup_and_visit_branches():
     out_w = m.forward(v, x, jax.random.PRNGKey(1), epoch=0, train=True)
     assert out_w.vi_index == -1 and np.isfinite(float(out_w.loss))
     out_b = m.forward(v, x, jax.random.PRNGKey(1), vi_index=0, epoch=5, train=True)
-    assert -2.0 <= float(out_b.reg_loss) <= 500.0
+    # boundary visits must have a LIVE KL (non-zero, inside the clamp) — a
+    # range containing 0 would also pass with the gate dead
+    assert -2.0 <= float(out_b.reg_loss) <= 500.0 and float(out_b.reg_loss) != 0.0
     out_e = m.forward(v, x, jax.random.PRNGKey(1), vi_index=3, epoch=5, train=True)
-    assert -2.0 <= float(out_e.reg_loss) <= 500.0
+    assert -2.0 <= float(out_e.reg_loss) <= 500.0 and float(out_e.reg_loss) != 0.0
     out_i = m.forward(v, x, jax.random.PRNGKey(1), vi_index=2, epoch=5, train=True)
     assert float(out_i.reg_loss) == 0.0  # interior visit: KL gated off
     assert out_i.z_seq.shape == (2, 4, 6)
@@ -780,6 +793,14 @@ def test_lvae_iaf_estimate_nll():
     nll_1 = model.estimate_nll(variables, x, jax.random.PRNGKey(2), n_samples=1, vi_index=1)
     nll_64 = model.estimate_nll(variables, x, jax.random.PRNGKey(2), n_samples=64, vi_index=1)
     assert float(np.mean(np.asarray(nll_64))) <= float(np.mean(np.asarray(nll_1))) + 5.0
+    # discriminating check (the +5.0 slack alone tolerates an estimator
+    # that ignores n_samples): 64 samples must shrink the key-to-key
+    # spread of the estimate
+    nll_1b = model.estimate_nll(variables, x, jax.random.PRNGKey(7), n_samples=1, vi_index=1)
+    nll_64b = model.estimate_nll(variables, x, jax.random.PRNGKey(7), n_samples=64, vi_index=1)
+    s1 = np.abs(np.asarray(nll_1) - np.asarray(nll_1b)).mean()
+    s64 = np.abs(np.asarray(nll_64) - np.asarray(nll_64b)).mean()
+    assert s64 < s1, f"n_samples has no effect: spread(1)={s1} spread(64)={s64}"
 
     # posterior-IAF variant exercises the flow log-det path
     model2 = LVAE_IAF(input_dim=INPUT, latent_dim=4, n_obs=4, warmup=0, posterior="iaf")

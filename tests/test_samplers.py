@@ -84,6 +84,14 @@ def test_tempering_schedule():
     np.testing.assert_allclose(float(tempering(15.0, 15, b0_sqrt)), 1.0, rtol=1e-6)
     # k=0 -> 1/(1/sqrt(b0)) = sqrt(b0)
     np.testing.assert_allclose(float(tempering(0.0, 15, b0_sqrt)), 2.0, rtol=1e-6)
+    # interior points pin the QUADRATIC shape (pythae rhvae_sampler.py:
+    # 152-155: beta_k = (1 - 1/sqrt(b0)) (k/K)^2 + 1/sqrt(b0)) — the
+    # endpoints alone are satisfied by any monotone interpolation
+    for k in (5.0, 7.5, 12.0):
+        expected = 1.0 / ((1.0 - 0.5) * (k / 15.0) ** 2 + 0.5)
+        np.testing.assert_allclose(
+            float(tempering(k, 15, b0_sqrt)), expected, rtol=1e-6
+        )
 
 
 def test_hmc_prior_chain(metric):

@@ -75,3 +75,24 @@ def test_cli_rejects_invalid_config():
     cfg = compose("conf", overrides=["model.posterior.type=bogus"])
     with pytest.raises(ValueError, match="posterior.type"):
         run_experiment.ExperimentRunner(cfg)
+
+
+def test_parity_tier_canary(reference_available):
+    """Canary: the torch-parity tier must actually RUN on this machine.
+
+    Every parity test skips politely when torch or /root/reference is
+    missing — correct for foreign checkouts, but it means an environment
+    regression (torch install broken, reference unmounted) would turn the
+    entire reference-parity gate green-by-omission.  This test FAILS
+    loudly instead, so `pytest -q` can never report success with the
+    parity tier silently skipped on the machine it is meant to run on."""
+    import importlib.util
+
+    assert importlib.util.find_spec("torch") is not None, (
+        "torch is not importable: the ~15 reference-parity tests are all "
+        "silently skipping"
+    )
+    assert reference_available, (
+        "/root/reference is not mounted: the reference-parity tests are "
+        "all silently skipping"
+    )
