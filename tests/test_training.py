@@ -377,3 +377,31 @@ def test_fit_dataset_smaller_than_batch(tmp_path):
     t = Trainer(_tiny_model(), data, cfg, run_dir=tmp_path)
     result = t.fit()
     assert np.isfinite(result["best_val_loss"])
+
+
+@pytest.mark.slow
+def test_real_multiprocess_cluster(tmp_path):
+    """REAL 2-process verification of the multi-host path (scripts/
+    multihost_verify.py): forms an actual jax.distributed cluster on
+    localhost (2 procs x 4 fake CPU devices, Gloo collectives) and asserts
+    (1) the 2-process DP step numerically equals the single-process
+    8-device run of the same global batch, (2) both processes report
+    bit-identical results, (3) stage_dataset + epoch_perm +
+    make_epoch_fn_sharded execute cross-process with finite decreasing
+    losses.  Subprocess-based: the simulated-split staging test above
+    cannot catch cross-process collective or addressability bugs."""
+    import os
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    env = {**os.environ, "MH_VERIFY_PORT": "9741"}
+    # children must NOT inherit this test process's 8-device XLA flag
+    env["XLA_FLAGS"] = ""
+    proc = subprocess.run(
+        [_sys.executable, "scripts/multihost_verify.py"],
+        capture_output=True, text=True, timeout=850,
+        cwd=str(Path(__file__).resolve().parents[1]), env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert '"checks"' in proc.stdout
