@@ -1,6 +1,8 @@
 """Data pipeline tests (reference analogue: CyclicSpritesDataset behaviors,
 cyclic_dataset.py:16-278)."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -129,3 +131,39 @@ def test_eval_batches_keep_remainder():
     dm.val.data = dm.val.data[:3]
     batches = list(dm.val_batches())
     assert len(batches) == 1 and batches[0].shape[0] == 3
+
+
+def test_convert_reference_artifacts_cli(tmp_path, reference_available):
+    """The one-shot migration CLI converts the reference's actual torch
+    artifacts (encoder/decoder/metric .pt) to torch-free .npz with
+    round-trip validation."""
+    if not reference_available:
+        pytest.skip("reference not mounted")
+    pytest.importorskip("torch")
+    import json
+    import subprocess
+    import sys
+
+    ref = Path("/root/reference/data/pretrained")
+    args = [sys.executable, "scripts/convert_reference_artifacts.py",
+            "--out-dir", str(tmp_path)]
+    for kind in ("encoder", "decoder"):
+        src = ref / f"{kind}.pt"
+        if src.exists():
+            args += [f"--{kind}", str(src)]
+    metric = next(iter(sorted(ref.glob("metric*.pt"))), None)
+    if metric is not None:
+        args += ["--metric", str(metric)]
+    assert len(args) > 5, f"no reference artifacts found under {ref}"
+    proc = subprocess.run(args, capture_output=True, text=True, timeout=300,
+                          cwd=str(Path(__file__).resolve().parents[1]))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout)
+    for kind in ("encoder", "decoder"):
+        if f"--{kind}" in " ".join(args):
+            assert report[kind]["param_count"] > 0
+            assert Path(report[kind]["out"]).exists()
+    if metric is not None:
+        assert report["metric"]["n_centroids"] > 0
+        v = report["metric"]["validation"]
+        assert str(v.get("valid", v)).lower() not in ("false",), v
