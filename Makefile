@@ -2,7 +2,9 @@
 
 PY ?= python
 
-.PHONY: test test-fast test-parity bench train-quick train-vanilla comparison sweep dryrun clean ci lint
+# NB: `native` MUST be phony — it collides with the native/ source
+# directory, which make otherwise treats as an up-to-date target
+.PHONY: test test-fast test-parity bench train-quick train-vanilla comparison sweep dryrun clean ci lint native
 
 test:
 	$(PY) -m pytest tests/ -q

@@ -34,6 +34,7 @@ struct Loader {
   // mapped dataset
   int fd = -1;
   const float *base = nullptr;
+  void *map_ptr = nullptr; // original mmap address (base is offset into it)
   size_t map_bytes = 0;
   int64_t n_samples = 0;
   int64_t sample_elems = 0;  // floats per sample
@@ -69,8 +70,9 @@ struct Loader {
     cv_producer.notify_all();
     cv_consumer.notify_all();
     if (worker.joinable()) worker.join();
-    if (base) munmap(const_cast<float *>(base) - header_offset / sizeof(float),
-                     map_bytes);
+    // unmap the ORIGINAL pointer: reconstructing it from `base` with
+    // float-unit arithmetic breaks for header offsets not divisible by 4
+    if (map_ptr) munmap(map_ptr, map_bytes);
     if (fd >= 0) close(fd);
   }
 };
@@ -134,6 +136,7 @@ void *rl_loader_create(const char *path, int64_t n_samples, int64_t sample_elems
   void *m = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, ld->fd, 0);
   if (m == MAP_FAILED) { delete ld; return nullptr; }
   madvise(m, st.st_size, MADV_WILLNEED);
+  ld->map_ptr = m;
   ld->base = reinterpret_cast<const float *>((const char *)m + header_offset);
   ld->header_offset = header_offset;
   ld->n_samples = n_samples;
@@ -186,13 +189,18 @@ int32_t rl_loader_next(void *handle, float *out) {
   size_t slot = ld->ring_head;
   ld->cv_consumer.wait(lk, [&] { return ld->stop.load() || ld->ring[slot].ready; });
   if (ld->stop.load()) return 0;
+  // copy out BEFORE releasing the slot: releasing first would let a
+  // (spuriously or stale-notify) woken producer claim this slot and
+  // assemble the next batch into it while the memcpy is still reading
+  lk.unlock();
+  std::memcpy(out, ld->ring[slot].data.data(),
+              (size_t)ld->batch_size * ld->sample_elems * sizeof(float));
+  lk.lock();
   ld->ring[slot].ready = false;
   ld->ring_head = (ld->ring_head + 1) % ld->ring.size();
   ld->ring_filled--;
   ld->next_batch_idx++;
   lk.unlock();
-  std::memcpy(out, ld->ring[slot].data.data(),
-              (size_t)ld->batch_size * ld->sample_elems * sizeof(float));
   ld->cv_producer.notify_one();
   return 1;
 }
