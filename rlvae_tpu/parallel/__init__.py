@@ -9,9 +9,12 @@ from rlvae_tpu.parallel.sharding import (
     shard_params,
 )
 
+from rlvae_tpu.parallel import metric_parallel
+
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "metric_parallel",
     "create_mesh",
     "resolve_num_devices",
     "batch_sharding",

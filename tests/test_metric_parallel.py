@@ -1,0 +1,96 @@
+"""Centroid-sharded (expert-parallel) metric path: parity vs the dense path.
+
+The bank is padded to the shard count and split over the mesh's ``model``
+axis; these tests pin that every sharded output matches the single-device
+dense computation exactly, on both a pure-EP mesh (1 x 8) and a hybrid
+DP x EP mesh (2 x 4) with the batch sharded over ``data``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rlvae_tpu.geometry import metric as gm
+from rlvae_tpu.parallel import metric_parallel as mp
+from rlvae_tpu.parallel.mesh import create_mesh
+
+
+@pytest.fixture(scope="module")
+def bank(rng):
+    d, k = 6, 37  # K deliberately NOT divisible by any mesh axis size
+    c = rng.normal(size=(k, d)).astype(np.float32)
+    a = rng.normal(size=(k, d, d)).astype(np.float32) * 0.3
+    m = a @ a.transpose(0, 2, 1) + 0.5 * np.eye(d, dtype=np.float32)
+    return gm.CentroidMetric.create(c, m, temperature=0.8, regularization=0.01)
+
+
+@pytest.fixture(scope="module")
+def zs(rng, bank):
+    # points near the centroids so the weights are far from underflow
+    idx = rng.integers(0, bank.n_centroids, size=16)
+    base = np.asarray(bank.centroids)[idx]
+    return jnp.asarray(base + 0.3 * rng.normal(size=base.shape).astype(np.float32))
+
+
+def test_pad_metric_is_exact(bank, zs):
+    padded = mp.pad_metric(bank, 8)
+    assert padded.n_centroids == 40
+    np.testing.assert_allclose(
+        gm.g_inv(padded, zs), gm.g_inv(bank, zs), rtol=0, atol=0
+    )
+    # grad path also unaffected up to the reduction-tree reordering the
+    # padded K=40 einsum introduces (padded contributions are exact zeros)
+    np.testing.assert_allclose(
+        gm.grad_log_sqrt_det_g_inv(padded, zs),
+        gm.grad_log_sqrt_det_g_inv(bank, zs),
+        rtol=0,
+        atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("mp_size,batch_axis", [(8, None), (4, "data"), (2, "data")])
+def test_g_inv_sharded_parity(bank, zs, mp_size, batch_axis):
+    mesh = create_mesh(model_parallel=mp_size)
+    sharded = mp.shard_metric(mesh, bank)
+    got = mp.g_inv_sharded(mesh, sharded, zs, batch_axis=batch_axis)
+    want = gm.g_inv(bank, zs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-6)
+
+
+def test_chol_sharded_parity(bank, zs):
+    mesh = create_mesh(model_parallel=4)
+    sharded = mp.shard_metric(mesh, bank)
+    got = mp.chol_g_inv_sharded(mesh, sharded, zs, jitter=1e-6)
+    want = gm.chol_g_inv(bank, zs, jitter=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-6)
+
+
+def test_hmc_terms_sharded_parity(bank, zs):
+    mesh = create_mesh(model_parallel=4)
+    sharded = mp.shard_metric(mesh, bank)
+    logpi, grad = mp.hmc_terms_sharded(mesh, sharded, zs)
+    want_logpi = gm.log_sqrt_det_g_inv(bank, zs)
+    want_grad = gm.grad_log_sqrt_det_g_inv(bank, zs)
+    np.testing.assert_allclose(np.asarray(logpi), np.asarray(want_logpi), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(want_grad), atol=1e-5)
+
+
+def test_sharded_is_jittable_with_constant_collective_count(bank, zs):
+    """The EP path must stay a single fused psum under jit (no per-centroid
+    collectives), and jit must reproduce the eager result."""
+    mesh = create_mesh(model_parallel=4)
+    sharded = mp.shard_metric(mesh, bank)
+
+    fn = jax.jit(lambda m, z: mp.hmc_terms_sharded(mesh, m, z))
+    logpi, grad = fn(sharded, zs)
+    np.testing.assert_allclose(
+        np.asarray(logpi), np.asarray(gm.log_sqrt_det_g_inv(bank, zs)), atol=1e-6
+    )
+    import re
+
+    hlo = fn.lower(sharded, zs).compile().as_text()
+    # count all-reduce OPS (each `%name = (...) all-reduce(...)` line), not the
+    # get-tuple-element references to them
+    n_reduce = len(re.findall(r"= .*\ball-reduce(?:-start)?\(", hlo))
+    assert n_reduce == 1, f"expected ONE fused psum, saw {n_reduce} all-reduce ops"
