@@ -1,0 +1,249 @@
+"""Dynamic-batching inference engine — the production serving path.
+
+The reference serves its models through a Streamlit app that runs one
+request at a time on whatever shape arrives (reference:
+app/backend/model_manager.py:28-381 — every click is a fresh
+``model.reconstruct``/``decode`` call).  On TPU that design is doubly wrong:
+XLA compiles one program per shape, and per-dispatch overhead dominates
+small batches (docs/ROADMAP.md perf notes: ~2.4 ms dispatch floor vs
+sub-ms compute at B<=8).  This engine is the TPU-native replacement:
+
+- **Bucketed static shapes** — every micro-batch is padded up to a small
+  fixed set of power-of-two buckets, so the compile cache is bounded (one
+  program per op x bucket) and nothing ever retraces at serve time.
+- **Dynamic batching** — concurrent requests for the same op coalesce into
+  one device dispatch (amortizing the dispatch floor), up to ``max_batch``
+  or ``max_wait_ms``, whichever comes first.
+- **Single device owner** — one dispatcher thread performs every JAX call;
+  request threads only enqueue payloads and block on futures, so there is
+  no lock contention on the runtime and the device queue never interleaves.
+
+Throughput/latency instrumentation is built in (padding waste, batch-size
+histogram, per-op latency quantiles) — the serving observability surface.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["ServeConfig", "BatchingEngine", "EngineStats"]
+
+
+@dataclass(frozen=True)
+class ServeConfig:
+    """Engine knobs.
+
+    ``buckets`` must be ascending; the largest bucket is the max batch the
+    device program will ever see.  ``max_wait_ms`` trades tail latency for
+    batching opportunity — at 0 the engine degenerates to per-request
+    dispatch (useful as a benchmark baseline).
+    """
+
+    buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
+    max_wait_ms: float = 2.0
+    queue_capacity: int = 4096
+
+    @property
+    def max_batch(self) -> int:
+        return self.buckets[-1]
+
+
+@dataclass
+class EngineStats:
+    requests: int = 0
+    batches: int = 0
+    rows_padded: int = 0
+    rows_real: int = 0
+    batch_sizes: collections.Counter = field(default_factory=collections.Counter)
+    latencies_ms: Dict[str, collections.deque] = field(default_factory=dict)
+
+    def snapshot(self) -> Dict[str, Any]:
+        out: Dict[str, Any] = {
+            "requests": self.requests,
+            "batches": self.batches,
+            "avg_batch": (self.rows_real / self.batches) if self.batches else 0.0,
+            "padding_waste": (
+                self.rows_padded / (self.rows_padded + self.rows_real)
+                if (self.rows_padded + self.rows_real)
+                else 0.0
+            ),
+            "batch_size_hist": dict(self.batch_sizes),
+        }
+        for op, lat in self.latencies_ms.items():
+            arr = np.asarray(lat, dtype=np.float64)
+            if arr.size:
+                out[f"{op}_p50_ms"] = float(np.percentile(arr, 50))
+                out[f"{op}_p99_ms"] = float(np.percentile(arr, 99))
+        return out
+
+
+class _Request:
+    __slots__ = ("op", "payload", "extra", "future", "t_enqueue")
+
+    def __init__(self, op: str, payload: np.ndarray, extra: Any):
+        self.op = op
+        self.payload = payload
+        self.extra = extra
+        self.future: Future = Future()
+        self.t_enqueue = time.perf_counter()
+
+
+class BatchingEngine:
+    """Coalesce per-item requests into bucket-padded device batches.
+
+    ``ops`` maps an op name to a callable taking a stacked ``[B, ...]``
+    numpy/JAX array and returning a ``[B, ...]`` array-like (row i of the
+    output must correspond to row i of the input).  The callable should be a
+    jitted closure (e.g. the ones a :class:`rlvae_tpu.inference.ModelManager`
+    holds); the engine adds batching, padding, and instrumentation around it.
+    """
+
+    def __init__(
+        self,
+        ops: Dict[str, Callable[[np.ndarray], Any]],
+        config: ServeConfig = ServeConfig(),
+    ):
+        if not ops:
+            raise ValueError("BatchingEngine needs at least one op")
+        self.ops = dict(ops)
+        self.config = config
+        self.stats = EngineStats(latencies_ms={op: collections.deque(maxlen=2048) for op in ops})
+        self._queues: Dict[str, queue.Queue] = {
+            op: queue.Queue(maxsize=config.queue_capacity) for op in ops
+        }
+        self._wakeup = threading.Event()
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._thread = threading.Thread(target=self._loop, name="serve-dispatch", daemon=True)
+        self._thread.start()
+
+    @classmethod
+    def from_manager(cls, manager, config: ServeConfig = ServeConfig()) -> "BatchingEngine":
+        """Standard op table over a ModelManager: sequence reconstruction,
+        frame encoding, latent decoding."""
+        import jax
+
+        key = jax.random.PRNGKey(0)
+        ops = {
+            "reconstruct": lambda x: manager._forward(manager.variables, x, key).recon_x,
+            "encode": lambda x: manager._encode(manager.variables, x).embedding,
+            "decode": lambda z: manager._decode(manager.variables, z).reconstruction,
+        }
+        return cls(ops, config)
+
+    # -- client side --------------------------------------------------------
+
+    def submit(self, op: str, item: np.ndarray) -> Future:
+        """Enqueue ONE item (no batch dim).  Returns a Future resolving to
+        this item's output row."""
+        if op not in self.ops:
+            raise KeyError(f"unknown op {op!r}; have {sorted(self.ops)}")
+        req = _Request(op, np.asarray(item), None)
+        self._queues[op].put(req)
+        self._wakeup.set()
+        return req.future
+
+    def run(self, op: str, item: np.ndarray, timeout: Optional[float] = 30.0):
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(op, item).result(timeout=timeout)
+
+    def warmup(self, example_items: Dict[str, np.ndarray], buckets: Optional[Sequence[int]] = None):
+        """Compile every (op, bucket) program up front so no request ever
+        pays a trace.  ``example_items`` maps op -> one example item."""
+        for op, item in example_items.items():
+            fn = self.ops[op]
+            for b in buckets or self.config.buckets:
+                batch = np.broadcast_to(np.asarray(item)[None], (b, *np.shape(item))).copy()
+                np.asarray(fn(batch))
+
+    def stop(self, timeout: float = 10.0):
+        self._stop.set()
+        self._wakeup.set()
+        self._thread.join(timeout=timeout)
+
+    # -- dispatcher ---------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.config.buckets:
+            if b >= n:
+                return b
+        return self.config.max_batch
+
+    def _drain(self, op: str, limit: int) -> List[_Request]:
+        out: List[_Request] = []
+        q = self._queues[op]
+        while len(out) < limit:
+            try:
+                out.append(q.get_nowait())
+            except queue.Empty:
+                break
+        return out
+
+    def _oldest_op(self) -> Optional[str]:
+        best, best_t = None, None
+        for op, q in self._queues.items():
+            with q.mutex:
+                head = q.queue[0] if q.queue else None
+            if head is not None and (best_t is None or head.t_enqueue < best_t):
+                best, best_t = op, head.t_enqueue
+        return best
+
+    def _loop(self):
+        cfg = self.config
+        while not self._stop.is_set():
+            op = self._oldest_op()
+            if op is None:
+                self._wakeup.wait(timeout=0.05)
+                self._wakeup.clear()
+                continue
+            # batching window: wait (briefly) for co-riders before dispatch
+            if cfg.max_wait_ms > 0:
+                deadline = time.perf_counter() + cfg.max_wait_ms / 1e3
+                while (
+                    time.perf_counter() < deadline
+                    and self._queues[op].qsize() < cfg.max_batch
+                    and not self._stop.is_set()
+                ):
+                    time.sleep(min(0.0002, cfg.max_wait_ms / 1e3 / 4))
+            reqs = self._drain(op, cfg.max_batch)
+            if not reqs:
+                continue
+            self._dispatch(op, reqs)
+
+    def _dispatch(self, op: str, reqs: List[_Request]):
+        n = len(reqs)
+        bucket = self._bucket(n)
+        try:
+            batch = np.stack([r.payload for r in reqs])
+            if bucket > n:
+                # pad by repeating the last row: keeps the padded rows inside
+                # the model's input distribution (zeros can produce inf/nan
+                # in log-paths that would pollute XLA's all-reduce fastpaths)
+                pad = np.broadcast_to(batch[-1:], (bucket - n, *batch.shape[1:]))
+                batch = np.concatenate([batch, pad])
+            t0 = time.perf_counter()
+            out = np.asarray(self.ops[op](batch))
+            dt_ms = (time.perf_counter() - t0) * 1e3
+        except Exception as exc:  # propagate to every waiter
+            for r in reqs:
+                if not r.future.cancelled():
+                    r.future.set_exception(exc)
+            return
+        with self._lock:
+            self.stats.requests += n
+            self.stats.batches += 1
+            self.stats.rows_real += n
+            self.stats.rows_padded += bucket - n
+            self.stats.batch_sizes[bucket] += 1
+            self.stats.latencies_ms[op].append(dt_ms)
+        for i, r in enumerate(reqs):
+            if not r.future.cancelled():
+                r.future.set_result(out[i])
