@@ -65,30 +65,44 @@ def tempering(k: Array, big_k: int, beta_zero_sqrt: Array) -> Array:
     return 1.0 / beta_k
 
 
-def sample_prior_hmc(
-    metric: CentroidMetric,
-    key: Array,
-    num_samples: int,
-    config: HMCConfig = HMCConfig(),
-    return_diagnostics: bool = False,
-) -> Array:
-    """HMC chain targeting pi(z) ~ sqrt(det G^{-1}(z)).
+def draw_chain_noise(k_chain: Array, steps: int, num_samples: int, d: int):
+    """All of the chain's randomness, pre-drawn: per-step momenta
+    ``gammas [S, B, D]`` and acceptance uniforms ``unifs [S, B]``.
 
-    With ``return_diagnostics`` also returns {"accept_rate": mean accept
-    prob over the run, "log_pi": final per-chain log sqrt det G^{-1}} —
-    the chain statistics the generation-parity artifact compares against
-    the torch sampler (pythae rhvae_sampler.py:98-148)."""
-    terms = _terms_fn(metric, config.backend)
-    d = metric.latent_dim
+    The key derivation (split the chain key into S step keys, then each step
+    key into momentum/accept keys) is EXACTLY the in-scan derivation the
+    chain previously used, so values are bit-identical — factoring the draws
+    out lets the same integrator run inside ``shard_map`` with the noise
+    batch-sharded (parallel/metric_parallel.sample_prior_hmc_sharded)."""
+    keys = jax.random.split(k_chain, steps)
+
+    def one(k):
+        k_mom, k_acc = jax.random.split(k)
+        return (
+            jax.random.normal(k_mom, (num_samples, d)),
+            jax.random.uniform(k_acc, (num_samples,)),
+        )
+
+    return jax.vmap(one)(keys)
+
+
+def run_prior_chain(
+    terms,
+    z0: Array,
+    gammas: Array,
+    unifs: Array,
+    config: HMCConfig,
+    mean_fn=jnp.mean,
+):
+    """The prior-chain integrator on pre-drawn noise: returns
+    ``(z, accept_rate, log_pi_final)``.
+
+    ``terms(z) -> (log pi, grad log pi)`` is pluggable (dense, fused Pallas,
+    or the centroid-sharded psum evaluator); ``mean_fn`` reduces the per-step
+    accept mask to a rate (the sharded runner passes a pmean-composed
+    reduction so the diagnostic is the global rate)."""
     beta_zero_sqrt = jnp.sqrt(jnp.asarray(config.beta_zero, jnp.float32))
     eps_lf = jnp.asarray(config.eps_lf, jnp.float32)
-
-    k_init, k_chain = jax.random.split(key)
-    if config.init == "centroids":
-        idx = jax.random.randint(k_init, (num_samples,), 0, metric.n_centroids)
-        z0 = metric.centroids[idx]
-    else:
-        z0 = jax.random.normal(k_init, (num_samples, d))
 
     # The gradient at the end of one leapfrog step equals the gradient at the
     # start of the next (same z), so it is carried instead of recomputed —
@@ -105,10 +119,9 @@ def sample_prior_hmc(
         rho = (beta_sqrt_old / beta_sqrt) * rho_full
         return (z, rho, g, beta_sqrt), None
 
-    def mcmc_step(carry, step_key):
+    def mcmc_step(carry, noise):
         z0_s, logpi0_s, g0_s, beta_sqrt_old = carry
-        k_mom, k_acc = jax.random.split(step_key)
-        gamma = jax.random.normal(k_mom, z0_s.shape)
+        gamma, accept_u = noise
         rho = gamma / beta_zero_sqrt
         h0 = -logpi0_s + 0.5 * jnp.sum(rho**2, axis=1)
 
@@ -129,22 +142,49 @@ def sample_prior_hmc(
             # then accepts (alpha clamps to 1) where the unguarded form
             # gives nan -> permanent rejection
             alpha = jnp.clip(jnp.exp(-h) / (jnp.exp(-h0) + 1e-10), 0.0, 1.0)
-        accept = jax.random.uniform(k_acc, (z.shape[0],)) < alpha
+        accept = accept_u < alpha
         mask = accept[:, None]
         z_new = jnp.where(mask, z, z0_s)
         logpi_new = jnp.where(accept, logpi, logpi0_s)
         g_new = jnp.where(mask, g, g0_s)
-        return (z_new, logpi_new, g_new, beta_sqrt_old), jnp.mean(
+        return (z_new, logpi_new, g_new, beta_sqrt_old), mean_fn(
             accept.astype(jnp.float32)
         )
 
     logpi0, grad0 = terms(z0)
-    keys = jax.random.split(k_chain, config.mcmc_steps)
     (z, logpi_final, _, _), accept_rates = jax.lax.scan(
-        mcmc_step, (z0, logpi0, -grad0, beta_zero_sqrt), keys
+        mcmc_step, (z0, logpi0, -grad0, beta_zero_sqrt), (gammas, unifs)
     )
+    return z, jnp.mean(accept_rates), logpi_final
+
+
+def sample_prior_hmc(
+    metric: CentroidMetric,
+    key: Array,
+    num_samples: int,
+    config: HMCConfig = HMCConfig(),
+    return_diagnostics: bool = False,
+) -> Array:
+    """HMC chain targeting pi(z) ~ sqrt(det G^{-1}(z)).
+
+    With ``return_diagnostics`` also returns {"accept_rate": mean accept
+    prob over the run, "log_pi": final per-chain log sqrt det G^{-1}} —
+    the chain statistics the generation-parity artifact compares against
+    the torch sampler (pythae rhvae_sampler.py:98-148)."""
+    terms = _terms_fn(metric, config.backend)
+    d = metric.latent_dim
+
+    k_init, k_chain = jax.random.split(key)
+    if config.init == "centroids":
+        idx = jax.random.randint(k_init, (num_samples,), 0, metric.n_centroids)
+        z0 = metric.centroids[idx]
+    else:
+        z0 = jax.random.normal(k_init, (num_samples, d))
+
+    gammas, unifs = draw_chain_noise(k_chain, config.mcmc_steps, num_samples, d)
+    z, accept_rate, logpi_final = run_prior_chain(terms, z0, gammas, unifs, config)
     if return_diagnostics:
-        return z, {"accept_rate": jnp.mean(accept_rates), "log_pi": logpi_final}
+        return z, {"accept_rate": accept_rate, "log_pi": logpi_final}
     return z
 
 

@@ -94,3 +94,45 @@ def test_sharded_is_jittable_with_constant_collective_count(bank, zs):
     # get-tuple-element references to them
     n_reduce = len(re.findall(r"= .*\ball-reduce(?:-start)?\(", hlo))
     assert n_reduce == 1, f"expected ONE fused psum, saw {n_reduce} all-reduce ops"
+
+
+def test_sharded_prior_chain_matches_dense(bank):
+    """Distributed HMC generation must reproduce the dense sampler: same
+    inits, bit-identical noise (shared draw_chain_noise derivation), terms
+    differing only by psum reduction order."""
+    from rlvae_tpu.samplers.hmc import HMCConfig, sample_prior_hmc
+
+    cfg = HMCConfig(mcmc_steps=6, n_lf=3, eps_lf=0.05, init="centroids")
+    key = jax.random.PRNGKey(7)
+    dense_z, dense_diag = sample_prior_hmc(bank, key, 8, cfg, return_diagnostics=True)
+
+    mesh = create_mesh(model_parallel=2)  # dp=4 x ep=2
+    shard_z, shard_diag = mp.sample_prior_hmc_sharded(
+        mesh, bank, key, 8, cfg, return_diagnostics=True
+    )
+    np.testing.assert_allclose(np.asarray(shard_z), np.asarray(dense_z), atol=1e-4)
+    np.testing.assert_allclose(
+        float(shard_diag["accept_rate"]), float(dense_diag["accept_rate"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(shard_diag["log_pi"]), np.asarray(dense_diag["log_pi"]), atol=1e-4
+    )
+
+
+def test_sharded_prior_chain_randn_init(bank):
+    from rlvae_tpu.samplers.hmc import HMCConfig, sample_prior_hmc
+
+    cfg = HMCConfig(mcmc_steps=4, n_lf=2, eps_lf=0.05, init="randn", beta_zero=0.7)
+    key = jax.random.PRNGKey(11)
+    dense_z = sample_prior_hmc(bank, key, 16, cfg)
+    mesh = create_mesh(model_parallel=4)  # dp=2 x ep=4
+    shard_z = mp.sample_prior_hmc_sharded(mesh, bank, key, 16, cfg)
+    np.testing.assert_allclose(np.asarray(shard_z), np.asarray(dense_z), atol=1e-4)
+
+
+def test_sharded_prior_chain_rejects_indivisible(bank):
+    from rlvae_tpu.samplers.hmc import HMCConfig
+
+    mesh = create_mesh(model_parallel=2)
+    with pytest.raises(ValueError, match="divide"):
+        mp.sample_prior_hmc_sharded(mesh, bank, jax.random.PRNGKey(0), 7, HMCConfig())
