@@ -118,6 +118,31 @@ def main():
         variables2["params"]
     )
 
+    # ---- DP x EP: centroid-sharded metric HMC terms -----------------------
+    from rlvae_tpu.geometry import metric as gm
+    from rlvae_tpu.parallel import metric_parallel as mp
+
+    mesh_ep = create_mesh(n_devices=8, model_parallel=2)
+    k_bank, d_lat, b_z = 200, 16, 64
+    a = rng.normal(size=(k_bank, d_lat, d_lat)).astype(np.float32) * 0.2
+    bank = gm.CentroidMetric.create(
+        rng.normal(size=(k_bank, d_lat)).astype(np.float32),
+        a @ a.transpose(0, 2, 1) + 0.5 * np.eye(d_lat, dtype=np.float32),
+        temperature=0.8,
+    )
+    bank_sh = mp.shard_metric(mesh_ep, bank)
+    z = jax.device_put(
+        jnp.asarray(rng.normal(size=(b_z, d_lat)), jnp.float32),
+        batch_sharding(mesh_ep),
+    )
+    ep_fn = jax.jit(lambda m, zz: mp.hmc_terms_sharded(mesh_ep, m, zz))
+    report["ep_metric_hmc_terms"] = audit(ep_fn, (bank_sh, z))
+    report["ep_metric_hmc_terms"]["bank_centroids"] = k_bank
+    report["ep_metric_hmc_terms"]["note"] = (
+        "one fused psum of the local [B/dp, D, D] + [B/dp, D] partials; "
+        "payload independent of K (tests/test_comm_audit.py pins this)"
+    )
+
     out_dir = REPO / "outputs" / "comm_audit"
     out_dir.mkdir(parents=True, exist_ok=True)
     path = out_dir / "comm_audit.json"

@@ -120,3 +120,40 @@ def test_epoch_scan_collectives_are_static():
     assert rep2["collectives"]["all-gather"]["bytes"] == 0, rep2
     assert pbytes <= rep2["total_bytes"] <= 1.25 * pbytes, (rep2, pbytes)
     assert rep2["total_count"] <= 6, rep2
+
+
+def test_ep_metric_terms_one_psum_payload_independent_of_k():
+    """The centroid-sharded (EP) metric path must compile to exactly ONE
+    fused all-reduce whose payload is the [B/dp, D, D] + [B/dp, D] partials —
+    independent of the bank size K.  A regression that psums per-centroid (or
+    gathers the bank) would scale traffic with K and defeat the sharding."""
+    from rlvae_tpu.geometry import metric as gm
+    from rlvae_tpu.parallel import metric_parallel as mp
+
+    rng = np.random.default_rng(0)
+    mesh = create_mesh(n_devices=8, model_parallel=2)  # dp=4, ep=2
+    d, b = 8, 32
+    plans = {}
+    for k in (64, 256):
+        a = rng.normal(size=(k, d, d)).astype(np.float32) * 0.2
+        bank = gm.CentroidMetric.create(
+            rng.normal(size=(k, d)).astype(np.float32),
+            a @ a.transpose(0, 2, 1) + 0.5 * np.eye(d, dtype=np.float32),
+            temperature=0.8,
+        )
+        bank_sh = mp.shard_metric(mesh, bank)
+        z = jax.device_put(
+            jnp.asarray(rng.normal(size=(b, d)), jnp.float32),
+            batch_sharding(mesh),
+        )
+        fn = jax.jit(lambda m, zz: mp.hmc_terms_sharded(mesh, m, zz))
+        plans[k] = audit(fn, (bank_sh, z))
+
+    for k, rep in plans.items():
+        c = rep["collectives"]
+        assert c["all-reduce"]["count"] == 1, (k, c)
+        assert rep["total_count"] == 1, (k, rep)
+        # local partial payload: (B/dp) * (D*D + D) * 4 bytes
+        expected = (b // 4) * (d * d + d) * 4
+        assert c["all-reduce"]["bytes"] == expected, (k, c, expected)
+    assert plans[64]["collectives"] == plans[256]["collectives"], plans
