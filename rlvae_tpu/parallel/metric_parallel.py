@@ -70,21 +70,29 @@ def pad_metric(metric: CentroidMetric, shards: int) -> CentroidMetric:
     )
 
 
+def _put(mesh: Mesh, value, spec: P) -> Array:
+    """Place a host-replicated value under ``spec`` on any process count:
+    ``make_array_from_callback`` hands each addressable device its slice, so
+    the same placement works single-process and on a real multi-host cluster
+    (every process holds the full bank — it is model state, not data)."""
+    import numpy as np
+
+    value = np.asarray(value)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(value.shape, sharding, lambda idx: value[idx])
+
+
 def shard_metric(
     mesh: Mesh, metric: CentroidMetric, axis: str = MODEL_AXIS
 ) -> CentroidMetric:
     """Pad and place the bank with K sharded over ``axis`` (replicated over
-    every other mesh axis)."""
+    every other mesh axis).  Valid on any ``jax.process_count()``."""
     padded = pad_metric(metric, int(mesh.shape[axis]))
     return CentroidMetric(
-        centroids=jax.device_put(padded.centroids, NamedSharding(mesh, P(axis, None))),
-        matrices=jax.device_put(
-            padded.matrices, NamedSharding(mesh, P(axis, None, None))
-        ),
-        temperature=jax.device_put(padded.temperature, NamedSharding(mesh, P())),
-        regularization=jax.device_put(
-            padded.regularization, NamedSharding(mesh, P())
-        ),
+        centroids=_put(mesh, padded.centroids, P(axis, None)),
+        matrices=_put(mesh, padded.matrices, P(axis, None, None)),
+        temperature=_put(mesh, padded.temperature, P()),
+        regularization=_put(mesh, padded.regularization, P()),
         latent_dim=padded.latent_dim,
     )
 
@@ -265,7 +273,13 @@ def sample_prior_hmc_sharded(
         z0 = jax.random.normal(k_init, (num_samples, d))
     gammas, unifs = draw_chain_noise(k_chain, config.mcmc_steps, num_samples, d)
 
-    bank = pad_metric(metric, int(mesh.shape[axis]))
+    bank = shard_metric(mesh, metric, axis)
+    # global placement of inits + noise: every process computes the identical
+    # values (pure functions of the key), the callback hands each device its
+    # slice — valid on any process count
+    z0 = _put(mesh, z0, P(batch_axis, None))
+    gammas = _put(mesh, gammas, P(None, batch_axis, None))
+    unifs = _put(mesh, unifs, P(None, batch_axis))
 
     def local_chain(c, m, t, lbd, z0_l, gammas_l, unifs_l):
         inv_t2 = 1.0 / (t * t)

@@ -91,6 +91,25 @@ def run_single():
     step = make_train_step(model, optimizer)
     v, o, m = step(v, o, b, jax.random.PRNGKey(1))
     out = {"loss": float(m["loss"]), "checksum": _checksum(jax, v["params"])}
+
+    # dense (unsharded) reference values for the EP segment
+    import numpy as np
+
+    from rlvae_tpu.geometry import metric as gm
+    from rlvae_tpu.samplers.hmc import HMCConfig, sample_prior_hmc
+
+    bank, z = _ep_bank_and_z(np)
+    zj = jnp.asarray(z)
+    cfg = HMCConfig(mcmc_steps=4, n_lf=3, eps_lf=0.05, init="centroids")
+    z_chain, diag = sample_prior_hmc(
+        bank, jax.random.PRNGKey(3), 8, cfg, return_diagnostics=True
+    )
+    out["ep"] = {
+        "logpi_sum": float(gm.log_sqrt_det_g_inv(bank, zj).sum()),
+        "grad_abs_sum": float(jnp.abs(gm.grad_log_sqrt_det_g_inv(bank, zj)).sum()),
+        "chain_abs_sum": float(jnp.abs(z_chain).sum()),
+        "accept_rate": float(diag["accept_rate"]),
+    }
     print(json.dumps({"single": out}), flush=True)
 
 
@@ -141,13 +160,72 @@ def run_child(pid: int):
         perm = epoch_perm(mesh, 7, epoch, n_steps, local_bs, shard_len)
         v2, o2, stacked = epoch_fn(v2, o2, data, perm, jax.random.PRNGKey(epoch))
         epoch_losses.extend(np.asarray(jax.device_get(stacked["loss"])).tolist())
+    # -- centroid-sharded (EP) metric path across the REAL process split --
+    # bank over the model axis of a 4x2 mesh: process 0's devices hold half
+    # of each K-shard pair, so the fused psum crosses the Gloo boundary
+    ep_out = _run_ep_segment(jax)
+
     out = {
         "process": pid,
         "step": step_out,
         "epoch_losses": epoch_losses,
         "epoch_checksum": _checksum(jax, v2["params"]),
+        "ep": ep_out,
     }
     print(json.dumps({"child": out}), flush=True)
+
+
+def _ep_bank_and_z(np):
+    from rlvae_tpu.geometry.metric import CentroidMetric
+
+    rng = np.random.default_rng(5)
+    k, d = 37, 8
+    a = rng.normal(size=(k, d, d)).astype(np.float32) * 0.2
+    bank = CentroidMetric.create(
+        rng.normal(size=(k, d)).astype(np.float32),
+        a @ a.transpose(0, 2, 1) + 0.5 * np.eye(d, dtype=np.float32),
+        temperature=0.8,
+    )
+    z = np.asarray(bank.centroids)[rng.integers(0, k, 8)] + 0.2 * rng.normal(
+        size=(8, d)
+    ).astype(np.float32)
+    return bank, z.astype(np.float32)
+
+
+def _run_ep_segment(jax):
+    """HMC terms + a short prior chain with the bank sharded over 'model'
+    (EP) and chains over 'data', on whatever cluster is initialized."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from rlvae_tpu.parallel import metric_parallel as mp
+    from rlvae_tpu.samplers.hmc import HMCConfig
+
+    # transpose so each model-axis pair is (process-0 device, process-1
+    # device): the fused psum is forced across the Gloo process boundary
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4).T, ("data", "model"))
+    bank, z = _ep_bank_and_z(np)
+    bank_sh = mp.shard_metric(mesh, bank)
+    z_sh = mp._put(mesh, z, jax.sharding.PartitionSpec("data", None))
+    logpi, grad = jax.jit(lambda m, zz: mp.hmc_terms_sharded(mesh, m, zz))(
+        bank_sh, z_sh
+    )
+    cfg = HMCConfig(mcmc_steps=4, n_lf=3, eps_lf=0.05, init="centroids")
+    z_chain, diag = mp.sample_prior_hmc_sharded(
+        mesh, bank, jax.random.PRNGKey(3), 8, cfg, return_diagnostics=True
+    )
+    return {
+        "logpi_sum": float(jax.jit(lambda x: x.sum())(logpi)),
+        "grad_abs_sum": float(jax.jit(lambda x: jnp_abs_sum(x))(grad)),
+        "chain_abs_sum": float(jax.jit(lambda x: jnp_abs_sum(x))(z_chain)),
+        "accept_rate": float(diag["accept_rate"]),
+    }
+
+
+def jnp_abs_sum(x):
+    import jax.numpy as jnp
+
+    return jnp.abs(x).sum()
 
 
 def main():
@@ -193,6 +271,12 @@ def main():
     assert c0["epoch_checksum"] == c1["epoch_checksum"]
     assert all(np.isfinite(v) for v in c0["epoch_losses"])
     assert c0["epoch_losses"][-1] < c0["epoch_losses"][0], c0["epoch_losses"]
+    # 3. EP metric path: cross-process psum == dense single-process values,
+    #    and both processes agree bit-for-bit
+    assert c0["ep"] == c1["ep"], (c0["ep"], c1["ep"])
+    for key in ("logpi_sum", "grad_abs_sum", "chain_abs_sum", "accept_rate"):
+        a, b = c0["ep"][key], s["ep"][key]
+        assert abs(a - b) <= 1e-4 * max(1.0, abs(b)), (key, a, b)
 
     summary = {
         "cluster": {"processes": 2, "local_devices": 4, "global_devices": 8,
@@ -204,6 +288,9 @@ def main():
             "both processes report bit-identical step and epoch results",
             "stage_dataset + epoch_perm + make_epoch_fn_sharded executed "
             "cross-process; epoch losses finite and decreasing",
+            "EP metric path (hmc_terms_sharded + sample_prior_hmc_sharded) "
+            "over a 4x2 mesh whose model-axis psum crosses the process "
+            "boundary matches the dense single-process values",
         ],
     }
     out_dir = ROOT / "outputs" / "multihost_verify"
