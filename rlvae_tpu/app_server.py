@@ -109,6 +109,7 @@ class AppState:
         self.outputs_dir = Path(outputs_dir)
         self.backend = ExperimentBackend(outputs_dir)
         self._managers: Dict[str, Any] = {}
+        self._engines: Dict[str, Any] = {}
         self._data_modules: Dict[str, Any] = {}
         self._lock = threading.Lock()
 
@@ -148,6 +149,33 @@ class AppState:
             with self._lock:
                 m = self._managers.setdefault(run_name, m)
         return m
+
+    def engine(self, run_name: str):
+        """Per-run dynamic-batching engine over the cached ModelManager:
+        concurrent HTTP inference requests coalesce into one device dispatch
+        (rlvae_tpu.serving; the reference app dispatches per click)."""
+        from rlvae_tpu.serving import BatchingEngine, ServeConfig
+
+        with self._lock:
+            e = self._engines.get(run_name)
+        if e is None:
+            mgr = self.manager(run_name)
+            e = BatchingEngine.from_manager(
+                mgr, ServeConfig(buckets=(1, 2, 4, 8), max_wait_ms=3.0)
+            )
+            with self._lock:
+                winner = self._engines.setdefault(run_name, e)
+            if winner is not e:  # concurrent first builds: keep one dispatcher
+                e.stop()
+                e = winner
+        return e
+
+    def engine_reconstruct(self, run_name: str, x: np.ndarray, timeout: float = 600.0):
+        """Reconstruct sequences through the batching engine (one item per
+        sequence; co-arriving requests share a dispatch)."""
+        eng = self.engine(run_name)
+        futures = [eng.submit("reconstruct", xi) for xi in np.asarray(x)]
+        return np.stack([np.asarray(f.result(timeout=timeout)) for f in futures])
 
     def sample_batch(self, run_name: str, n: int = 4) -> np.ndarray:
         import yaml
@@ -392,7 +420,7 @@ def make_handler(state: AppState):
                 return self._json(mm.get_model_info())
             if action == "reconstruct":
                 x = state.sample_batch(run_name, n)
-                recon = mm.reconstruct(x, seed=seed)
+                recon = state.engine_reconstruct(run_name, x)
                 rows = []
                 for i in range(min(n, recon.shape[0])):
                     rows.append([_png_b64(x[i, t]) for t in range(x.shape[1])])
