@@ -506,3 +506,72 @@ def hmc_terms_pallas(
         interpret=interp,
     )(_scalars(metric, extra=(math.log(eps),)), z_t, c_t, m_t, m_t2)
     return logpi[:b, 0], grad[:b]
+
+
+def _hmc_partial_kernel(
+    scal_ref, z_ref, c_ref, m_ref, m2_ref, gi_ref, v_ref, *, d, k_real, k_pad, tb
+):
+    """Shard-local EP partials: the weighted metric sum WITHOUT the + lbd I
+    term and the scaled gradient contraction v = (-2/T^2) sum_k w_k M_k^T
+    (c_k - z).  Everything nonlinear (Cholesky, log-det, inverse, G^T v)
+    happens AFTER the cross-device psum of these outputs
+    (parallel/metric_parallel.py), so this kernel is exactly the
+    K-proportional part of the HMC terms."""
+    inv_t2 = scal_ref[0, 0]
+    w = _weights_slab(z_ref, c_ref, inv_t2, d, k_real, k_pad, tb)
+    gi_cols = _gi_cols(m_ref, w, 0.0, d, tb)
+    gi_ref[...] = _stack_cols(gi_cols).T
+
+    v = jnp.zeros((d, tb), jnp.float32)
+    for i in range(d):
+        wd = w * (c_ref[i, :].reshape(k_pad, 1) - z_ref[i, :].reshape(1, tb))
+        m_i = m2_ref[i * d : (i + 1) * d, :]  # [D(j), K], i-major rows
+        v = v + jax.lax.dot_general(
+            m_i,
+            wd,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    v_ref[...] = ((-2.0 * inv_t2) * v).T  # [TB, D]
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "interpret"))
+def hmc_partials_pallas(
+    metric: CentroidMetric,
+    z: jax.Array,
+    tb: int | None = None,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """(G^{-1} partial [B, D, D] WITHOUT + lbd I, scaled gradient contraction
+    v [B, D]) over this metric's (shard of the) centroid bank — the fused
+    kernel behind the centroid-sharded HMC terms.  psum these across bank
+    shards, then finish with + lbd I / Cholesky / inverse locally."""
+    b, d, k, k_pad, tb, b_pad, z_t, c_t, m_t = _prep(metric, z, tb)
+    interp = (not _on_tpu()) if interpret is None else interpret
+    m_t2 = jnp.pad(
+        metric.matrices.transpose(1, 2, 0).reshape(d * d, k), ((0, 0), (0, k_pad - k))
+    )
+    gi, v = pl.pallas_call(
+        functools.partial(_hmc_partial_kernel, d=d, k_real=k, k_pad=k_pad, tb=tb),
+        grid=(b_pad // tb,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((d, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, d * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, d), jnp.float32),
+        ],
+        interpret=interp,
+    )(_scalars(metric), z_t, c_t, m_t, m_t2)
+    # j-major rows reshape directly: the partial sum of SPD M_k is symmetric
+    # (same convention as g_inv_pallas)
+    return gi[:b].reshape(b, d, d), v[:b]

@@ -97,6 +97,36 @@ def shard_metric(
     )
 
 
+def _partial_terms(c, m, t, lbd, z, backend: str = "auto"):
+    """One shard's (G^{-1} partial WITHOUT + lbd I, scaled gradient
+    contraction v = (-2/T^2) sum_k w_k M_k^T (c_k - z)) — the K-proportional
+    piece of the HMC terms.  Routed through the fused Pallas kernel on TPU
+    (ops.metric_kernels.hmc_partials_pallas; interpret-mode elsewhere when
+    forced), XLA otherwise.  Both the partial sum and the scaling commute
+    with the cross-shard psum."""
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from rlvae_tpu.ops.metric_kernels import hmc_partials_pallas
+
+        local = CentroidMetric(
+            centroids=c, matrices=m, temperature=t, regularization=lbd,
+            latent_dim=int(c.shape[1]),
+        )
+        return hmc_partials_pallas(local, z.astype(jnp.float32))
+    z = z.astype(jnp.float32)
+    inv_t2 = 1.0 / (t * t)
+    w, gi_part = _partial_g_inv(c, m, inv_t2, z)
+    diff = c[None, :, :] - z[:, None, :]
+    v_part = jnp.einsum(
+        "bk,bki,kij->bj", w, diff, m,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return gi_part, (-2.0 * inv_t2) * v_part
+
+
 def _partial_g_inv(c: Array, m: Array, inv_t2: Array, z: Array):
     """One shard's (weights [B, K/s], partial weighted sum [B, D, D] WITHOUT
     the + lbd I term) — same MXU layout as the dense path."""
@@ -178,6 +208,25 @@ def chol_g_inv_sharded(
     return _run_sharded(mesh, fn, (2,), axis, batch_axis)(metric, z)
 
 
+def _finish_hmc_terms(gi_part: Array, v: Array, lbd, eps: float):
+    """Post-psum tail of the HMC terms: + lbd I, Cholesky, guarded log
+    target, G, and the final G^T v product — all local to the batch shard."""
+    gi = gi_part + lbd * jnp.eye(gi_part.shape[-1], dtype=jnp.float32)
+    l = _lin.cholesky_small(gi, jitter=0.0)
+    half_ld = 0.5 * _lin.logdet_from_chol(l)
+    if eps == 0.0:
+        logpi = half_ld
+    else:
+        logpi = jnp.logaddexp(half_ld, jnp.log(jnp.float32(eps)))
+    gz = _lin.inv_psd_small(gi, jitter=0.0)
+    grad = -0.5 * jnp.einsum(
+        "bji,bj->bi", gz, v,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return logpi, grad
+
+
 def hmc_terms_sharded(
     mesh: Mesh,
     metric: CentroidMetric,
@@ -185,6 +234,7 @@ def hmc_terms_sharded(
     eps: float = 1e-10,
     axis: str = MODEL_AXIS,
     batch_axis: Optional[str] = DATA_AXIS,
+    backend: str = "auto",
 ):
     """(log pi(z), grad log pi(z)) for the manifold HMC target, centroid-
     sharded.  Matches pythae's guarded target and closed-form gradient
@@ -192,39 +242,14 @@ def hmc_terms_sharded(
     geometry.metric.grad_log_sqrt_det_g_inv for the math note): the two
     partial reductions (G^{-1} and the M_k^T (c_k - z) contraction) ride one
     fused psum; G, the Cholesky, and the final G^T v product stay local.
+    ``backend`` routes the K-proportional partials through the fused Pallas
+    kernel ('auto' picks it on TPU).
     """
 
     def fn(c, m, t, lbd, zz, ax):
-        zz = zz.astype(jnp.float32)
-        inv_t2 = 1.0 / (t * t)
-        w, gi_part = _partial_g_inv(c, m, inv_t2, zz)
-        diff = c[None, :, :] - zz[:, None, :]  # [B, K/s, D]
-        v_part = jnp.einsum(
-            "bk,bki,kij->bj",
-            w,
-            diff,
-            m,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        gi_part, v_part = _partial_terms(c, m, t, lbd, zz, backend)
         gi_part, v_part = jax.lax.psum((gi_part, v_part), ax)
-        gi = gi_part + lbd * jnp.eye(gi_part.shape[-1], dtype=jnp.float32)
-        l = _lin.cholesky_small(gi, jitter=0.0)
-        half_ld = 0.5 * _lin.logdet_from_chol(l)
-        if eps == 0.0:
-            logpi = half_ld
-        else:
-            logpi = jnp.logaddexp(half_ld, jnp.log(jnp.float32(eps)))
-        gz = _lin.inv_psd_small(gi, jitter=0.0)
-        v = (-2.0 * inv_t2) * v_part
-        grad = -0.5 * jnp.einsum(
-            "bji,bj->bi",
-            gz,
-            v,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return logpi, grad
+        return _finish_hmc_terms(gi_part, v_part, lbd, eps)
 
     return _run_sharded(mesh, fn, (0, 1), axis, batch_axis)(metric, z)
 
@@ -238,6 +263,7 @@ def sample_prior_hmc_sharded(
     axis: str = MODEL_AXIS,
     batch_axis: str = DATA_AXIS,
     return_diagnostics: bool = False,
+    backend: str = "auto",
 ):
     """Distributed manifold-HMC generation: chains sharded over
     ``batch_axis``, the centroid bank over ``axis``.
@@ -282,30 +308,10 @@ def sample_prior_hmc_sharded(
     unifs = _put(mesh, unifs, P(None, batch_axis))
 
     def local_chain(c, m, t, lbd, z0_l, gammas_l, unifs_l):
-        inv_t2 = 1.0 / (t * t)
-
         def terms(zz):
-            zz = zz.astype(jnp.float32)
-            w, gi_part = _partial_g_inv(c, m, inv_t2, zz)
-            diff = c[None, :, :] - zz[:, None, :]
-            v_part = jnp.einsum(
-                "bk,bki,kij->bj", w, diff, m,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            gi_part2, v_part = jax.lax.psum((gi_part, v_part), axis)
-            gi = gi_part2 + lbd * jnp.eye(gi_part2.shape[-1], dtype=jnp.float32)
-            l = _lin.cholesky_small(gi, jitter=0.0)
-            half_ld = 0.5 * _lin.logdet_from_chol(l)
-            logpi = jnp.logaddexp(half_ld, jnp.log(jnp.float32(1e-10)))
-            gz = _lin.inv_psd_small(gi, jitter=0.0)
-            v = (-2.0 * inv_t2) * v_part
-            grad = -0.5 * jnp.einsum(
-                "bji,bj->bi", gz, v,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return logpi, grad
+            gi_part, v_part = _partial_terms(c, m, t, lbd, zz, backend)
+            gi_part, v_part = jax.lax.psum((gi_part, v_part), axis)
+            return _finish_hmc_terms(gi_part, v_part, lbd, eps=1e-10)
 
         # global accept rate: local mean then pmean over the chain shards
         mean_fn = lambda a: jax.lax.pmean(jnp.mean(a), batch_axis)

@@ -136,3 +136,32 @@ def test_sharded_prior_chain_rejects_indivisible(bank):
     mesh = create_mesh(model_parallel=2)
     with pytest.raises(ValueError, match="divide"):
         mp.sample_prior_hmc_sharded(mesh, bank, jax.random.PRNGKey(0), 7, HMCConfig())
+
+
+def test_pallas_partials_match_xla(bank, zs):
+    """The fused partial-terms kernel (interpret mode off-TPU) must match the
+    XLA partials: G^{-1} partial without + lbd I and the scaled gradient
+    contraction."""
+    from rlvae_tpu.ops.metric_kernels import hmc_partials_pallas
+
+    gi_k, v_k = hmc_partials_pallas(bank, zs)
+    w = gm.weights(bank, zs)
+    gi_x = jnp.einsum("bk,kij->bij", w, bank.matrices)
+    diff = bank.centroids[None, :, :] - zs[:, None, :]
+    v_x = (-2.0 / bank.temperature**2) * jnp.einsum("bk,bki,kij->bj", w, diff, bank.matrices)
+    np.testing.assert_allclose(np.asarray(gi_k), np.asarray(gi_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_x), atol=1e-4)
+
+
+def test_hmc_terms_sharded_pallas_backend(bank, zs):
+    """backend='pallas' (interpret mode on CPU) inside shard_map reproduces
+    the dense terms — the kernel composes with the EP decomposition."""
+    mesh = create_mesh(model_parallel=2)
+    sharded = mp.shard_metric(mesh, bank)
+    logpi, grad = mp.hmc_terms_sharded(mesh, sharded, zs, backend="pallas")
+    np.testing.assert_allclose(
+        np.asarray(logpi), np.asarray(gm.log_sqrt_det_g_inv(bank, zs)), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(grad), np.asarray(gm.grad_log_sqrt_det_g_inv(bank, zs)), atol=1e-4
+    )
