@@ -265,11 +265,23 @@ def _hmc_kernel(
     x_rows = _inv_rows_from_chol(l_cols, d)
     g_cols = _g_cols_from_inv_rows(x_rows, d)
 
-    # v[j, b] = sum_i sum_k (c[i,k]-z[i,b]) w[k,b] M_k[i,j]
+    v = _v_slab(w, z_ref, c_ref, m2_ref, inv_t2, d, k_pad, tb)
+    grad = jnp.zeros((d, tb), jnp.float32)
+    for j in range(d):
+        grad = grad + g_cols[j] * v[j : j + 1, :]
+    grad_ref[...] = (-0.5 * grad).T  # [TB, D]
+
+
+def _v_slab(w, z_ref, c_ref, m2_ref, inv_t2, d: int, k_pad: int, tb: int):
+    """Scaled gradient contraction v[j, b] = (-2/T^2) sum_i sum_k
+    (c[i,k]-z[i,b]) w[k,b] M_k[i,j], as D matmuls over the weighted diffs
+    (never as the cancellation-prone difference of two large sums — z sits
+    near the centroids, so sum(w c M) - sum(w z M) would eat the signal).
+    ``m2_ref`` is the i-major flattened matrices (row i*D+j = M[:, i, j])."""
     v = jnp.zeros((d, tb), jnp.float32)
     for i in range(d):
         wd = w * (c_ref[i, :].reshape(k_pad, 1) - z_ref[i, :].reshape(1, tb))  # [K, TB]
-        m_i = m2_ref[i * d : (i + 1) * d, :]  # [D(j), K], i-major rows
+        m_i = m2_ref[i * d : (i + 1) * d, :]  # [D(j), K]
         v = v + jax.lax.dot_general(
             m_i,
             wd,
@@ -277,11 +289,7 @@ def _hmc_kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    v = (-2.0 * inv_t2) * v
-    grad = jnp.zeros((d, tb), jnp.float32)
-    for j in range(d):
-        grad = grad + g_cols[j] * v[j : j + 1, :]
-    grad_ref[...] = (-0.5 * grad).T  # [TB, D]
+    return (-2.0 * inv_t2) * v
 
 
 # ---------------------------------------------------------------------------
@@ -521,19 +529,7 @@ def _hmc_partial_kernel(
     w = _weights_slab(z_ref, c_ref, inv_t2, d, k_real, k_pad, tb)
     gi_cols = _gi_cols(m_ref, w, 0.0, d, tb)
     gi_ref[...] = _stack_cols(gi_cols).T
-
-    v = jnp.zeros((d, tb), jnp.float32)
-    for i in range(d):
-        wd = w * (c_ref[i, :].reshape(k_pad, 1) - z_ref[i, :].reshape(1, tb))
-        m_i = m2_ref[i * d : (i + 1) * d, :]  # [D(j), K], i-major rows
-        v = v + jax.lax.dot_general(
-            m_i,
-            wd,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    v_ref[...] = ((-2.0 * inv_t2) * v).T  # [TB, D]
+    v_ref[...] = _v_slab(w, z_ref, c_ref, m2_ref, inv_t2, d, k_pad, tb).T  # [TB, D]
 
 
 @functools.partial(jax.jit, static_argnames=("tb", "interpret"))

@@ -104,6 +104,10 @@ def _partial_terms(c, m, t, lbd, z, backend: str = "auto"):
     (ops.metric_kernels.hmc_partials_pallas; interpret-mode elsewhere when
     forced), XLA otherwise.  Both the partial sum and the scaling commute
     with the cross-shard psum."""
+    if backend not in ("auto", "pallas", "xla"):
+        # an unrecognized string silently measuring the XLA arm is exactly
+        # the silent-same-arm A/B failure documented in CLAUDE.md
+        raise ValueError(f"backend must be auto|pallas|xla, got {backend!r}")
     use_pallas = backend == "pallas" or (
         backend == "auto" and jax.default_backend() == "tpu"
     )
