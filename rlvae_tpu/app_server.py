@@ -393,6 +393,14 @@ def make_handler(state: AppState):
                     return self._json(state.backend.get_progress(parts[2], since))
                 if url.path == "/api/experiments":
                     return self._json(state.backend.list_experiments())
+                if url.path == "/api/serving":
+                    # serving observability: per-run engine stats (batching,
+                    # padding waste, latency quantiles) for loaded engines
+                    with state._lock:
+                        engines = dict(state._engines)
+                    return self._json(
+                        {name: e.stats.snapshot() for name, e in engines.items()}
+                    )
                 if len(parts) == 4 and parts[:2] == ["api", "model"]:
                     return self._model_api(parts[2], parts[3], q)
                 return self._json({"error": "not found"}, 404)

@@ -303,7 +303,46 @@ class Trainer:
         self._device_data = None
         self.profile = bool(trainer_cfg.get("profile", False))
         self.history: list[Dict[str, float]] = []
+        # preemption tolerance: a SIGTERM (TPU-pod eviction, SLURM requeue —
+        # the reference's cluster world relies on requeue + resume) requests
+        # a stop at the next epoch boundary; fit() then takes its normal
+        # exit path, which already writes the resumable 'last' checkpoint
+        self.handle_preemption = bool(trainer_cfg.get("handle_preemption", True))
+        self._preempted = False
         self.callbacks.on_init_end(self.cfg, trainer=self)
+
+    # -- preemption ----------------------------------------------------------
+
+    def _install_preemption_handler(self):
+        """SIGTERM -> stop at the next epoch boundary (then the normal exit
+        path writes the resumable 'last' checkpoint).  No-op off the main
+        thread (the app server trains in worker threads; signal handlers are
+        main-thread-only) and when handle_preemption is off."""
+        if not self.handle_preemption:
+            return None
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return None
+
+        def _on_term(signum, frame):
+            self._preempted = True
+
+        try:
+            return signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:
+            return None
+
+    def _restore_preemption_handler(self, prev) -> None:
+        if prev is None:
+            return
+        import signal
+
+        try:
+            signal.signal(signal.SIGTERM, prev)
+        except ValueError:
+            pass
 
     # -- loop ----------------------------------------------------------------
 
@@ -349,6 +388,7 @@ class Trainer:
         t_start = time.time()
         timer = StepTimer()
         epoch = start_epoch - 1
+        prev_handler = self._install_preemption_handler()
         self.callbacks.on_train_begin(self.cfg, trainer=self)
         for epoch in range(start_epoch, self.max_epochs):
             t_epoch = time.time()
@@ -445,8 +485,12 @@ class Trainer:
             if self.early_stopping.update(val_loss):
                 self.logger.log({"early_stopped_at": epoch}, step=step)
                 stop = True
+            if self._preempted:
+                self.logger.log({"preempted_at": epoch}, step=step)
+                stop = True
             if stop:
                 break
+        self._restore_preemption_handler(prev_handler)
 
         opt_leaves = {
             str(i): leaf
@@ -469,6 +513,7 @@ class Trainer:
             "epochs_run": epoch + 1,
             "steps": step,
             "train_time": time.time() - t_start,
+            "preempted": self._preempted,
             "history": self.history,
         }
         self.logger.summary(

@@ -109,6 +109,13 @@ def test_threaded_training_with_live_progress_and_inference(server):
     assert any(e["id"] == run_id for e in exps)
     _get_json(port, "/api/gallery")
 
+    # serving observability: reconstruct went through the batching engine,
+    # so its stats must show the dispatched requests
+    serving = _get_json(port, "/api/serving")
+    assert run_name in serving, serving
+    assert serving[run_name]["requests"] >= 2
+    assert serving[run_name]["batches"] >= 1
+
 
 def test_artifact_path_traversal_blocked(server):
     port, _ = server

@@ -405,3 +405,42 @@ def test_real_multiprocess_cluster(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert '"checks"' in proc.stdout
+
+
+def test_preemption_sigterm_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-training stops at the epoch boundary, writes the
+    resumable 'last' checkpoint, and fit(resume=True) finishes the
+    remaining epochs (TPU-pod eviction / SLURM requeue story)."""
+    import os
+    import signal
+
+    model = _tiny_model()
+    dm = CyclicDataModule(DATA_CFG)
+    cfg = {**TRAIN_CFG, "trainer": {**TRAIN_CFG["trainer"], "max_epochs": 4}}
+    dm.setup(cfg)
+    trainer = Trainer(model, dm, cfg, run_dir=tmp_path)
+
+    fired = {"n": 0}
+    orig = trainer.callbacks.on_epoch_end
+
+    def eviction(cfg_, **kw):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            os.kill(os.getpid(), signal.SIGTERM)  # delivered to our handler
+        return orig(cfg_, **kw)
+
+    trainer.callbacks.on_epoch_end = eviction
+    result = trainer.fit()
+    assert result["preempted"] is True
+    assert result["epochs_run"] == 1  # stopped at the first epoch boundary
+    assert (tmp_path / "checkpoints" / "last").exists()
+    # the prior SIGTERM handler is restored after fit
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL, signal.SIG_IGN) or callable(
+        signal.getsignal(signal.SIGTERM)
+    )
+
+    trainer2 = Trainer(_tiny_model(), dm, cfg, run_dir=tmp_path)
+    result2 = trainer2.fit(resume=True)
+    assert result2["preempted"] is False
+    assert result2["epochs_run"] == 4  # epochs 1..3 after resume
+    assert np.isfinite(result2["best_val_loss"])
