@@ -146,6 +146,8 @@ class BatchingEngine:
         this item's output row."""
         if op not in self.ops:
             raise KeyError(f"unknown op {op!r}; have {sorted(self.ops)}")
+        if self._stop.is_set():
+            raise RuntimeError("BatchingEngine is stopped")
         req = _Request(op, np.asarray(item), None)
         self._queues[op].put(req)
         self._wakeup.set()
@@ -165,9 +167,18 @@ class BatchingEngine:
                 np.asarray(fn(batch))
 
     def stop(self, timeout: float = 10.0):
+        """Stop the dispatcher.  Requests still queued (and any raced past the
+        stop flag in :meth:`submit`) fail fast with ``RuntimeError`` rather
+        than hanging until the client timeout."""
         self._stop.set()
         self._wakeup.set()
         self._thread.join(timeout=timeout)
+        for op in self._queues:
+            for req in self._drain(op, self.config.queue_capacity):
+                if not req.future.cancelled():
+                    req.future.set_exception(
+                        RuntimeError("BatchingEngine stopped before dispatch")
+                    )
 
     # -- dispatcher ---------------------------------------------------------
 

@@ -141,3 +141,31 @@ def test_from_manager_reconstruct_matches_direct():
         )
     finally:
         eng.stop()
+
+
+def test_stop_fails_pending_and_rejects_new():
+    """stop() must not strand waiters: queued requests fail fast with
+    RuntimeError, and submits after stop are rejected immediately."""
+    gate = threading.Event()
+
+    def slow(x):
+        gate.wait(timeout=10)
+        return np.asarray(x) * 2.0
+
+    eng = BatchingEngine({"op": slow}, ServeConfig(buckets=(1,), max_wait_ms=0.0))
+    # first request occupies the dispatcher; the rest sit in the queue
+    f0 = eng.submit("op", np.float32([1.0]))
+    time.sleep(0.05)
+    pending = [eng.submit("op", np.float32([float(i)])) for i in range(4)]
+    stopper = threading.Thread(target=eng.stop)
+    stopper.start()
+    time.sleep(0.05)
+    gate.set()  # release the in-flight dispatch so stop() can join
+    stopper.join(timeout=10)
+    assert not stopper.is_alive()
+    np.testing.assert_allclose(np.asarray(f0.result(timeout=5)), [2.0])
+    for f in pending:
+        with pytest.raises(RuntimeError, match="stopped"):
+            f.result(timeout=5)
+    with pytest.raises(RuntimeError, match="stopped"):
+        eng.submit("op", np.float32([0.0]))
