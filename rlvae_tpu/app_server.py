@@ -161,7 +161,11 @@ class AppState:
         if e is None:
             mgr = self.manager(run_name)
             e = BatchingEngine.from_manager(
-                mgr, ServeConfig(buckets=(1, 2, 4, 8), max_wait_ms=3.0)
+                mgr,
+                ServeConfig(buckets=(1, 2, 4, 8), max_wait_ms=3.0),
+                # seeded generation batches per-request seeds; sequences have
+                # the run's own n_obs
+                generate_n_obs=int(self.sample_batch(run_name, 1).shape[1]),
             )
             with self._lock:
                 winner = self._engines.setdefault(run_name, e)
@@ -175,6 +179,14 @@ class AppState:
         sequence; co-arriving requests share a dispatch)."""
         eng = self.engine(run_name)
         futures = [eng.submit("reconstruct", xi) for xi in np.asarray(x)]
+        return np.stack([np.asarray(f.result(timeout=timeout)) for f in futures])
+
+    def engine_generate(self, run_name: str, seeds, timeout: float = 600.0):
+        """Seeded prior generations through the batching engine (one item =
+        one seed; concurrent requests coalesce, outputs stay per-seed
+        reproducible)."""
+        eng = self.engine(run_name)
+        futures = [eng.submit("generate", np.uint32(s)) for s in seeds]
         return np.stack([np.asarray(f.result(timeout=timeout)) for f in futures])
 
     def sample_batch(self, run_name: str, n: int = 4) -> np.ndarray:
@@ -435,8 +447,9 @@ def make_handler(state: AppState):
                     rows.append([_png_b64(recon[i, t]) for t in range(recon.shape[1])])
                 return self._json({"rows": rows})
             if action == "generate":
-                n_obs = state.sample_batch(run_name, 1).shape[1]
-                gen = mm.sample_random(n, n_obs=n_obs, seed=seed)
+                # one engine item per sample, seeds seed..seed+n-1: co-arriving
+                # requests share a dispatch, every sample stays reproducible
+                gen = state.engine_generate(run_name, range(seed, seed + n))
                 rows = [
                     [_png_b64(gen[i, t]) for t in range(gen.shape[1])]
                     for i in range(gen.shape[0])

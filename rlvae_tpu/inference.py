@@ -40,6 +40,7 @@ class ModelManager:
         self._encode = jax.jit(lambda v, x: model.encode(v, x)[0])
         self._decode = jax.jit(lambda v, z: model.decode(v, z)[0])
         self._forward = jax.jit(lambda v, x, k: model.forward(v, x, k))
+        self._gen_by_seed: Dict[Any, Any] = {}  # (n_obs, method) -> jitted fn
 
     # -- constructors ---------------------------------------------------------
 
@@ -106,6 +107,30 @@ class ModelManager:
             self.variables, jax.random.PRNGKey(seed), n, n_obs=n_obs or 8, method=method
         )
         return np.asarray(x)
+
+    def sample_random_batched_seeds(
+        self, seeds, method: str = "geodesic", n_obs: int = 8
+    ) -> np.ndarray:
+        """Per-row seeded generation: row i is the ONE sequence
+        ``sample_random(1, seed=seeds[i])`` would produce, but the whole
+        batch runs as a single device dispatch (``vmap`` over the key
+        derivation).  This is what makes stochastic generation batchable in
+        the serving engine — concurrent requests with different seeds
+        coalesce without changing any request's output."""
+        k = (int(n_obs), str(method))
+        fn = self._gen_by_seed.get(k)
+        if fn is None:
+            model = self.model
+
+            def gen(v, seeds_):
+                return jax.vmap(
+                    lambda s: model.generate(
+                        v, jax.random.PRNGKey(s), 1, n_obs=k[0], method=k[1]
+                    )[0]
+                )(seeds_)
+
+            fn = self._gen_by_seed.setdefault(k, jax.jit(gen))
+        return np.asarray(fn(self.variables, jnp.asarray(seeds, jnp.uint32)))
 
     def sample_latent(self, n: int, method: str = "geodesic", seed: int = 0) -> np.ndarray:
         return np.asarray(

@@ -126,9 +126,18 @@ class BatchingEngine:
         self._thread.start()
 
     @classmethod
-    def from_manager(cls, manager, config: ServeConfig = ServeConfig()) -> "BatchingEngine":
+    def from_manager(
+        cls,
+        manager,
+        config: ServeConfig = ServeConfig(),
+        generate_n_obs: int = 8,
+        generate_method: str = "geodesic",
+    ) -> "BatchingEngine":
         """Standard op table over a ModelManager: sequence reconstruction,
-        frame encoding, latent decoding."""
+        frame encoding, latent decoding, and seeded prior generation (the
+        ``generate`` payload is ONE scalar seed per item; co-arriving
+        requests with different seeds share a dispatch without changing any
+        request's output — ModelManager.sample_random_batched_seeds)."""
         import jax
 
         key = jax.random.PRNGKey(0)
@@ -136,6 +145,9 @@ class BatchingEngine:
             "reconstruct": lambda x: manager._forward(manager.variables, x, key).recon_x,
             "encode": lambda x: manager._encode(manager.variables, x).embedding,
             "decode": lambda z: manager._decode(manager.variables, z).reconstruction,
+            "generate": lambda seeds: manager.sample_random_batched_seeds(
+                seeds, method=generate_method, n_obs=generate_n_obs
+            ),
         }
         return cls(ops, config)
 

@@ -113,8 +113,11 @@ def test_threaded_training_with_live_progress_and_inference(server):
     # so its stats must show the dispatched requests
     serving = _get_json(port, "/api/serving")
     assert run_name in serving, serving
-    assert serving[run_name]["requests"] >= 2
-    assert serving[run_name]["batches"] >= 1
+    # reconstruct (2 items) AND seeded generate (2 items) both flow
+    # through the batching engine
+    assert serving[run_name]["requests"] >= 4
+    assert serving[run_name]["batches"] >= 2
+    assert "generate_p50_ms" in serving[run_name], serving[run_name]
 
 
 def test_artifact_path_traversal_blocked(server):

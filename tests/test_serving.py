@@ -169,3 +169,41 @@ def test_stop_fails_pending_and_rejects_new():
             f.result(timeout=5)
     with pytest.raises(RuntimeError, match="stopped"):
         eng.submit("op", np.float32([0.0]))
+
+
+@pytest.mark.slow
+def test_generate_seeded_batching_matches_direct():
+    """Seeded generation through the engine: each item's output equals the
+    direct sample_random(1, seed=s) result, INDEPENDENT of how requests
+    coalesce or pad (per-row key derivation makes generation batchable)."""
+    from rlvae_tpu.inference import ModelManager
+    from rlvae_tpu.serving import BatchingEngine
+
+    cfg = {
+        "name": "vanilla_vae",
+        "input_dim": [3, 8, 8],
+        "latent_dim": 4,
+        "n_flows": 2,
+        "flow_hidden_size": 16,
+        "encoder": {"architecture": "mlp", "hidden_dims": [16]},
+        "decoder": {"architecture": "mlp", "hidden_dims": [16]},
+    }
+    mgr = ModelManager.from_config(cfg, seed=0)
+    eng = BatchingEngine.from_manager(
+        mgr,
+        ServeConfig(buckets=(1, 2, 4), max_wait_ms=200.0),
+        generate_n_obs=4,
+    )
+    try:
+        seeds = [7, 123, 7, 999]  # duplicate seed must give duplicate output
+        futs = [eng.submit("generate", np.uint32(s)) for s in seeds]
+        got = np.stack([np.asarray(f.result(timeout=300)) for f in futs])
+        for i, s in enumerate(seeds):
+            want = mgr.sample_random(1, seed=s, n_obs=4)[0]
+            np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(got[0], got[2], rtol=0, atol=0)
+        # a lone (padded-to-bucket) request still returns its exact seed's row
+        lone = np.asarray(eng.run("generate", np.uint32(123), timeout=300))
+        np.testing.assert_allclose(lone, got[1], rtol=1e-5, atol=1e-5)
+    finally:
+        eng.stop()
