@@ -1,0 +1,110 @@
+"""Ahead-of-time export (rlvae_tpu/export.py): StableHLO round-trip.
+
+The deployment artifact must reproduce the live ModelManager's outputs and
+serve through the BatchingEngine without any model code (the reference ships
+its full source tree + cloudpickle to every serving host instead —
+app/backend/model_manager.py, base_model.py:174-213).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from rlvae_tpu.export import export_model, load_exported
+from rlvae_tpu.inference import ModelManager
+
+TINY = {
+    "name": "vanilla_vae",
+    "input_dim": [3, 8, 8],
+    "latent_dim": 4,
+    "n_flows": 2,
+    "flow_hidden_size": 16,
+    "encoder": {"architecture": "mlp", "hidden_dims": [16]},
+    "decoder": {"architecture": "mlp", "hidden_dims": [16]},
+}
+
+
+@pytest.fixture(scope="module")
+def manager():
+    return ModelManager.from_config(TINY, seed=0)
+
+
+def test_decode_roundtrip_quick(manager, tmp_path):
+    """Smallest slice: one deterministic op, one bucket, full round-trip."""
+    export_model(manager, tmp_path, ops=("decode",), buckets=(4,), n_obs=4)
+    loaded = load_exported(tmp_path)
+    z = np.random.default_rng(0).normal(size=(4, 4)).astype(np.float32)
+    got = loaded.run("decode", z)
+    np.testing.assert_allclose(got, manager.decode(z), rtol=1e-5, atol=1e-5)
+    # padding dispatches to the bucket and slices back; decode is
+    # deterministic so rows are exact
+    got2 = loaded.run("decode", z[:3])
+    np.testing.assert_allclose(got2, manager.decode(z[:3]), rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="exceeds"):
+        loaded.run("decode", np.zeros((5, 4), np.float32))
+    with pytest.raises(KeyError):
+        loaded.run("nope", z)
+
+
+@pytest.mark.slow
+def test_full_bundle_parity_and_engine(manager, tmp_path):
+    manifest = export_model(
+        manager, tmp_path,
+        ops=("reconstruct", "encode", "decode", "generate"),
+        buckets=(1, 4), n_obs=4,
+    )
+    assert set(manifest["programs"]) == {"reconstruct", "encode", "decode", "generate"}
+    on_disk = json.loads((tmp_path / "manifest.json").read_text())
+    assert on_disk == json.loads(json.dumps(manifest))
+
+    loaded = load_exported(tmp_path)
+    rng = np.random.default_rng(1)
+    seqs = rng.uniform(size=(4, 4, 3, 8, 8)).astype(np.float32)
+
+    # reconstruct: exact at exact-bucket batch sizes (forward's noise draw
+    # depends on the traced batch shape, exactly like the live jit path)
+    np.testing.assert_allclose(
+        loaded.run("reconstruct", seqs), manager.reconstruct(seqs, seed=0),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        loaded.run("reconstruct", seqs[:1]), manager.reconstruct(seqs[:1], seed=0),
+        rtol=1e-5, atol=1e-5,
+    )
+    # encode: deterministic, padding-invariant
+    np.testing.assert_allclose(
+        loaded.run("encode", seqs[:3, 0]),
+        np.asarray(manager.encode(seqs[:3, 0]).embedding),
+        rtol=1e-5, atol=1e-5,
+    )
+    # generate: per-row seeded keys make it padding-invariant too
+    seeds = np.asarray([7, 123, 7], np.uint32)
+    gen = loaded.run("generate", seeds)
+    for i, s in enumerate(seeds):
+        np.testing.assert_allclose(
+            gen[i], manager.sample_random(1, seed=int(s), n_obs=4)[0],
+            rtol=1e-4, atol=1e-4,
+        )
+    np.testing.assert_allclose(gen[0], gen[2], rtol=0, atol=0)
+
+    # the artifact serves through the BatchingEngine with no model code
+    from rlvae_tpu.serving import BatchingEngine, ServeConfig
+
+    eng = BatchingEngine(loaded.as_ops(), ServeConfig(buckets=(1, 4), max_wait_ms=50.0))
+    try:
+        futs = [eng.submit("decode", rng.normal(size=(4,)).astype(np.float32))
+                for _ in range(4)]
+        outs = [np.asarray(f.result(timeout=300)) for f in futs]
+        assert all(o.shape == tuple(manager.model.input_dim) for o in outs)
+    finally:
+        eng.stop()
+
+
+def test_format_version_enforced(manager, tmp_path):
+    export_model(manager, tmp_path, ops=("decode",), buckets=(1,), n_obs=4)
+    m = json.loads((tmp_path / "manifest.json").read_text())
+    m["format_version"] = 999
+    (tmp_path / "manifest.json").write_text(json.dumps(m))
+    with pytest.raises(ValueError, match="unsupported export format"):
+        load_exported(tmp_path)
