@@ -194,6 +194,23 @@ class ExportedModel:
         out = np.asarray(progs[b].call(self._weights, x))
         return out[:n]
 
+    def set_weights(self, variables) -> None:
+        """Swap in a newer checkpoint's variables (same architecture) without
+        re-exporting any program — the weights are program arguments."""
+        import jax
+
+        leaves = jax.tree_util.tree_leaves(variables)
+        if len(leaves) != len(self._weights):
+            raise ValueError(
+                f"expected {len(self._weights)} weight leaves, got {len(leaves)}"
+            )
+        for new, old in zip(leaves, self._weights):
+            if np.shape(new) != np.shape(old):
+                raise ValueError(
+                    f"weight leaf shape {np.shape(new)} != exported {np.shape(old)}"
+                )
+        self._weights = [jax.device_put(np.asarray(l)) for l in leaves]
+
     def as_ops(self, ops: Optional[Sequence[str]] = None) -> Dict[str, Callable]:
         """Op table for :class:`~rlvae_tpu.serving.BatchingEngine`: serve an
         exported artifact with dynamic batching, no model code."""

@@ -86,9 +86,16 @@ def main():
     ):
         eng = BatchingEngine.from_manager(mgr, cfg)
         try:
-            eng.warmup({"encode": frames[0], "reconstruct": seqs[0]})
+            eng.warmup({"encode": frames[0], "reconstruct": seqs[0],
+                        "generate": np.uint32(0)})
             rows = {}
-            for op, items in (("encode", list(frames)), ("reconstruct", list(seqs))):
+            for op, items in (
+                ("encode", list(frames)),
+                ("reconstruct", list(seqs)),
+                # seeded generation: one seed per request, batchable because
+                # the op vmaps the per-row key derivation
+                ("generate", [np.uint32(s) for s in range(n_requests // 4)]),
+            ):
                 wall, lat = drive(eng, op, items)
                 rows[op] = {
                     "wall_s": wall,
@@ -112,7 +119,7 @@ def main():
             "throughput_x": b[op]["req_per_s"] / s[op]["req_per_s"],
             "p50_x": s[op]["p50_ms"] / b[op]["p50_ms"],
         }
-        for op in ("encode", "reconstruct")
+        for op in ("encode", "reconstruct", "generate")
     }
     out = REPO / "outputs" / "serving_engine"
     out.mkdir(parents=True, exist_ok=True)

@@ -101,6 +101,22 @@ def test_full_bundle_parity_and_engine(manager, tmp_path):
         eng.stop()
 
 
+def test_weight_swap_without_reexport(manager, tmp_path):
+    """A newer checkpoint's variables drop into a loaded bundle and change
+    the outputs to match — programs are weight-agnostic."""
+    export_model(manager, tmp_path, ops=("decode",), buckets=(2,), n_obs=4)
+    loaded = load_exported(tmp_path)
+    other = ModelManager.from_config(TINY, seed=1)
+    z = np.random.default_rng(2).normal(size=(2, 4)).astype(np.float32)
+    before = loaded.run("decode", z)
+    loaded.set_weights(other.variables)
+    after = loaded.run("decode", z)
+    np.testing.assert_allclose(after, other.decode(z), rtol=1e-5, atol=1e-5)
+    assert not np.allclose(before, after)
+    with pytest.raises(ValueError, match="leaves"):
+        loaded.set_weights({"params": {}})
+
+
 def test_format_version_enforced(manager, tmp_path):
     export_model(manager, tmp_path, ops=("decode",), buckets=(1,), n_obs=4)
     m = json.loads((tmp_path / "manifest.json").read_text())
