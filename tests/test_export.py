@@ -117,6 +117,18 @@ def test_weight_swap_without_reexport(manager, tmp_path):
         loaded.set_weights({"params": {}})
 
 
+def test_multi_platform_bundle(manager, tmp_path):
+    """platforms=('cpu','tpu') lowers one program that runs on either backend
+    (executed here on CPU; the same bytes load on a TPU host)."""
+    m = export_model(manager, tmp_path, ops=("decode",), buckets=(2,), n_obs=4,
+                     platforms=("cpu", "tpu"))
+    assert m["platforms"] == ["cpu", "tpu"]
+    loaded = load_exported(tmp_path)
+    z = np.random.default_rng(0).normal(size=(2, 4)).astype(np.float32)
+    np.testing.assert_allclose(loaded.run("decode", z), manager.decode(z),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_format_version_enforced(manager, tmp_path):
     export_model(manager, tmp_path, ops=("decode",), buckets=(1,), n_obs=4)
     m = json.loads((tmp_path / "manifest.json").read_text())
