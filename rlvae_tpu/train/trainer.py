@@ -157,6 +157,37 @@ def make_epoch_fn(model: RlVAE, optimizer) -> Callable:
     return jax.jit(epoch_fn, donate_argnums=(0, 1))
 
 
+def make_epoch_fn_chunked(model: RlVAE, optimizer) -> Callable:
+    """Compiled multi-step training over one HBM-staged CHUNK of the epoch.
+
+    For datasets larger than device HBM the whole-epoch scan of
+    :func:`make_epoch_fn` cannot stage the training set residently.  This
+    variant scans over ``[S, bs, ...]`` pre-gathered batches and per-step
+    PRNG keys passed as scan inputs — no resident dataset, one compiled
+    program reused for every same-shape chunk, and the trainer double-buffers
+    the next chunk's host->HBM transfer behind the current chunk's compute
+    (Trainer._run_epoch_jit_chunked).  Because the key schedule is
+    precomputed per STEP (``jax.random.split(epoch_key, n_steps)``), the
+    training trajectory is bit-identical for ANY chunk size.
+    """
+
+    def chunk_fn(variables, opt_state, batches, keys):
+        def body(carry, xs):
+            variables, opt_state = carry
+            batch, k_step = xs
+            variables, opt_state, metrics = _step_body(
+                model, optimizer, variables, opt_state, batch, k_step
+            )
+            return (variables, opt_state), metrics
+
+        (variables, opt_state), metrics = jax.lax.scan(
+            body, (variables, opt_state), (batches, keys)
+        )
+        return variables, opt_state, metrics  # metrics leaves stacked [S]
+
+    return jax.jit(chunk_fn, donate_argnums=(0, 1))
+
+
 def make_epoch_fn_sharded(model: RlVAE, optimizer, mesh) -> Callable:
     """Whole-epoch compiled training over a multi-device data mesh.
 
@@ -290,12 +321,19 @@ class Trainer:
         )
         if n_dev > 1 and int(getattr(self.data, "batch_size", 0)) % n_dev != 0:
             self.epoch_jit = False  # uneven shards; per-step loop drops remainders
+        # larger-than-HBM datasets: epoch_jit_chunk_steps > 0 switches the
+        # single-device epoch to compiled chunk scans with double-buffered
+        # staging (multi-device large datasets instead spread the resident
+        # set across the mesh's HBM via the sharded path)
+        self.chunk_steps = int(trainer_cfg.get("epoch_jit_chunk_steps", 0))
         # multi-host runs use the same sharded epoch path: each process
         # stages its local rows with jax.make_array_from_process_local_data
         # and every host computes the identical seeded permutation
         # (parallel/multihost.py) — no gate on jax.process_count()
         if not self.epoch_jit:
             self._epoch_fn = None
+        elif n_dev == 1 and self.chunk_steps > 0:
+            self._epoch_fn = make_epoch_fn_chunked(model, self.optimizer)
         elif n_dev == 1:
             self._epoch_fn = make_epoch_fn(model, self.optimizer)
         else:
@@ -525,8 +563,48 @@ class Trainer:
         })
         return result
 
+    def _run_epoch_jit_chunked(self, variables, opt_state, epoch: int, key):
+        """Epoch as compiled chunk scans over a host-resident dataset.
+
+        The dataset never lives in HBM: each chunk's rows are gathered on the
+        host (the epoch permutation is host-side numpy) and ``device_put``
+        for chunk c+1 is dispatched BEFORE chunk c's scan, so the transfer
+        rides behind the compute.  One program per chunk shape — at most two
+        compiles per run (full chunk + remainder).  The per-step key schedule
+        makes the result bit-identical for any chunk size (and to a
+        hypothetical S=n whole-epoch run)."""
+        bs = self.data.batch_size
+        n = self.data.steps_per_epoch()
+        if n == 0:
+            return variables, opt_state, {}, 0
+        rng = np.random.default_rng(self.seed + epoch)
+        perm = rng.permutation(len(self.data.train))[: n * bs].reshape(n, bs)
+        keys = jax.random.split(key, n)
+        data = self.data.train.data
+        spans = [(c, min(c + self.chunk_steps, n))
+                 for c in range(0, n, self.chunk_steps)]
+
+        def stage(c0, c1):
+            rows = np.asarray(data)[perm[c0:c1].reshape(-1)]
+            return jax.device_put(
+                jnp.asarray(rows).reshape(c1 - c0, bs, *rows.shape[1:])
+            )
+
+        nxt = stage(*spans[0])
+        outs = []
+        for i, (c0, c1) in enumerate(spans):
+            cur, nxt = nxt, (stage(*spans[i + 1]) if i + 1 < len(spans) else None)
+            variables, opt_state, m = self._epoch_fn(
+                variables, opt_state, cur, keys[c0:c1]
+            )
+            outs.append(m)
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *outs)
+        return variables, opt_state, stacked, n
+
     def _run_epoch_jit(self, variables, opt_state, epoch: int, key):
         """One compiled-epoch dispatch: stage data once, scan over batches."""
+        if self.n_devices == 1 and self.chunk_steps > 0:
+            return self._run_epoch_jit_chunked(variables, opt_state, epoch, key)
         bs = self.data.batch_size
         n = self.data.steps_per_epoch()
         rng = np.random.default_rng(self.seed + epoch)

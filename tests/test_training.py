@@ -444,3 +444,32 @@ def test_preemption_sigterm_checkpoints_and_resumes(tmp_path):
     assert result2["preempted"] is False
     assert result2["epochs_run"] == 4  # epochs 1..3 after resume
     assert np.isfinite(result2["best_val_loss"])
+
+
+def _fit_chunked(tmp_path, chunk_steps, tag):
+    model = _tiny_model()
+    dm = CyclicDataModule(DATA_CFG)
+    cfg = {
+        **TRAIN_CFG,
+        "trainer": {**TRAIN_CFG["trainer"],
+                    "epoch_jit_chunk_steps": chunk_steps},
+    }
+    dm.setup(cfg)
+    trainer = Trainer(model, dm, cfg, run_dir=tmp_path / tag, seed=7)
+    assert trainer.chunk_steps == chunk_steps
+    result = trainer.fit()
+    return result
+
+
+def test_chunked_epoch_is_chunk_size_invariant(tmp_path):
+    """Larger-than-HBM path: the per-step key schedule makes the training
+    trajectory BIT-identical for any chunk size (16 rows / bs 4 = 4 steps;
+    chunk 3 exercises the remainder program too)."""
+    r1 = _fit_chunked(tmp_path, 1, "c1")
+    r3 = _fit_chunked(tmp_path, 3, "c3")
+    assert r1["epochs_run"] == r3["epochs_run"] == 2
+    assert np.isfinite(r1["best_val_loss"])
+    assert r1["best_val_loss"] == r3["best_val_loss"]
+    h1 = [m["train/loss"] for m in r1["history"] if "train/loss" in m]
+    h3 = [m["train/loss"] for m in r3["history"] if "train/loss" in m]
+    assert h1 and h1 == h3
