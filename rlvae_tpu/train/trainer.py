@@ -246,19 +246,41 @@ def make_epoch_fn_sharded(model: RlVAE, optimizer, mesh) -> Callable:
     return jax.jit(epoch_fn, donate_argnums=(0, 1))
 
 
+def _eval_metrics(model: RlVAE, variables, batch, key):
+    out = model.forward(variables, batch, key, train=False, compute_metrics=True)
+    metrics = {
+        "loss": out.loss,
+        "recon_loss": out.recon_loss,
+        "kld_loss": out.kld_loss,
+        "flow_loss": out.flow_loss,
+    }
+    metrics.update(out.get("metrics", {}))
+    return metrics
+
+
 def make_eval_step(model: RlVAE) -> Callable:
     def eval_step(variables, batch, key):
-        out = model.forward(variables, batch, key, train=False, compute_metrics=True)
-        metrics = {
-            "loss": out.loss,
-            "recon_loss": out.recon_loss,
-            "kld_loss": out.kld_loss,
-            "flow_loss": out.flow_loss,
-        }
-        metrics.update(out.get("metrics", {}))
-        return metrics
+        return _eval_metrics(model, variables, batch, key)
 
     return jax.jit(eval_step)
+
+
+def make_eval_fn(model: RlVAE) -> Callable:
+    """Whole-split compiled evaluation: one ``lax.scan`` dispatch over the
+    staged full-size batches (the same per-batch dispatch + device fetch
+    that dominates training wall-clock on this runtime dominates validation
+    too).  Per-batch keys come in as scan inputs so results are
+    bit-identical to the per-batch loop."""
+
+    def eval_fn(variables, batches, keys):
+        def body(_, xs):
+            batch, k = xs
+            return None, _eval_metrics(model, variables, batch, k)
+
+        _, metrics = jax.lax.scan(body, None, (batches, keys))
+        return metrics  # leaves stacked [S]
+
+    return jax.jit(eval_fn)
 
 
 class Trainer:
@@ -310,6 +332,14 @@ class Trainer:
             model, self.optimizer, nan_checks=bool(self.cfg.get("debug_nan_checks", False))
         )
         self._eval_step = make_eval_step(model)
+        # whole-split compiled eval (one scan dispatch instead of a dispatch
+        # + device fetch per batch); single-device — DP eval keeps the
+        # sharded per-batch loop
+        self._eval_fn = (
+            make_eval_fn(model)
+            if n_dev == 1 and bool(trainer_cfg.get("eval_jit", True))
+            else None
+        )
         # whole-epoch compiled path: on by default (single-device scans the
         # HBM-staged dataset; multi-device runs shard-local shuffles under
         # shard_map — see make_epoch_fn_sharded).  TP meshes and nan-check
@@ -670,28 +700,60 @@ class Trainer:
             restored = self.checkpoints.restore("best")
             variables = restored["variables"]
         key = key if key is not None else jax.random.PRNGKey(0)
-        batches = self.data.val_batches() if split == "val" else self.data.test_batches()
-        acc: Dict[str, list] = {}
-        weights: list = []
+        batches = list(
+            self.data.val_batches() if split == "val" else self.data.test_batches()
+        )
         from rlvae_tpu.parallel import shard_batch
 
+        results: Dict[int, Dict[str, float]] = {}
+        if self._eval_fn is not None and len(batches) > 1:
+            # compiled whole-split eval: full-size batches go through ONE
+            # scan dispatch with the same fold_in(key, i) per-batch keys as
+            # the loop (bit-identical results); odd-sized remainders take
+            # the per-batch program
+            size0 = batches[0].shape[0]
+            full = [i for i, b in enumerate(batches) if b.shape[0] == size0]
+            stacked = jax.device_put(
+                np.stack([np.asarray(batches[i], np.float32) for i in full])
+            )
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                jnp.asarray(full, jnp.uint32)
+            )
+            fetched = jax.device_get(self._eval_fn(variables, stacked, keys))
+            for j, i in enumerate(full):
+                results[i] = {k: float(v[j]) for k, v in fetched.items()}
+            for i in set(range(len(batches))) - set(full):
+                metrics = jax.device_get(self._eval_step(
+                    variables,
+                    jax.device_put(np.asarray(batches[i], np.float32)),
+                    jax.random.fold_in(key, i),
+                ))
+                results[i] = {k: float(v) for k, v in metrics.items()}
+        else:
+            for i, batch in enumerate(batches):
+                if batch.shape[0] % self.n_devices != 0:
+                    continue
+                # shard eval batches over the data axis too
+                # (replicated-variables DP eval; XLA reduces the means over
+                # ICI); shard_batch places the host array per shard without
+                # staging it on one device
+                device_batch = shard_batch(self.mesh, np.asarray(batch, np.float32))
+                metrics = jax.device_get(
+                    self._eval_step(variables, device_batch, jax.random.fold_in(key, i))
+                )
+                results[i] = {k: float(v) for k, v in metrics.items()}
+
+        acc: Dict[str, list] = {}
+        weights: list = []
         for i, batch in enumerate(batches):
-            if batch.shape[0] % self.n_devices != 0:
+            if i not in results:
                 continue
             self.callbacks.call_event("on_eval_step_begin", self.cfg, step=i)
-            # shard eval batches over the data axis too (replicated-variables
-            # DP eval; XLA reduces the means over ICI); shard_batch places
-            # the host array per shard without staging it on one device
-            device_batch = shard_batch(self.mesh, np.asarray(batch, np.float32))
-            metrics = jax.device_get(
-                self._eval_step(variables, device_batch, jax.random.fold_in(key, i))
-            )
             weights.append(batch.shape[0])
-            for k, v in metrics.items():
-                acc.setdefault(k, []).append(float(v))
+            for k, v in results[i].items():
+                acc.setdefault(k, []).append(v)
             self.callbacks.call_event(
-                "on_eval_step_end", self.cfg, step=i,
-                logs={k: float(v) for k, v in metrics.items()},
+                "on_eval_step_end", self.cfg, step=i, logs=results[i]
             )
         # per-batch means weighted by batch size: a kept remainder batch
         # must not count as much as a full one (val_loss drives checkpoint

@@ -473,3 +473,25 @@ def test_chunked_epoch_is_chunk_size_invariant(tmp_path):
     h1 = [m["train/loss"] for m in r1["history"] if "train/loss" in m]
     h3 = [m["train/loss"] for m in r3["history"] if "train/loss" in m]
     assert h1 and h1 == h3
+
+
+def test_eval_jit_matches_per_batch_loop(tmp_path):
+    """Compiled whole-split eval (one scan dispatch) is bit-identical to the
+    per-batch loop, including the odd-sized remainder batch and the
+    batch-size-weighted average."""
+    model = _tiny_model()
+    dm = CyclicDataModule(DATA_CFG)
+    cfg = {**TRAIN_CFG, "data": {"batch_size": 3}}  # val 8 -> 3,3,2 batches
+    dm.setup(cfg)
+    t_jit = Trainer(model, dm, cfg, run_dir=tmp_path / "a", seed=3)
+    cfg_loop = {**cfg, "trainer": {**cfg["trainer"], "eval_jit": False}}
+    t_loop = Trainer(model, dm, cfg_loop, run_dir=tmp_path / "b", seed=3)
+    assert t_jit._eval_fn is not None and t_loop._eval_fn is None
+
+    variables = model.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(11)
+    a = t_jit.evaluate(split="val", key=key, variables=variables)
+    b = t_loop.evaluate(split="val", key=key, variables=variables)
+    assert set(a) == set(b) and "loss" in a
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])
