@@ -55,10 +55,12 @@ class ExperimentBackend:
 
         run_id = uuid.uuid4().hex[:8]
         run_dir = self.outputs_dir / f"app_{run_id}"
+        stop_event = threading.Event()
         state: Dict[str, Any] = {
             "id": run_id, "status": "running", "records": [],
             "run_dir": str(run_dir), "overrides": list(overrides),
             "started": time.time(), "error": None,
+            "stop_event": stop_event, "stop_requested": False,
         }
         with self._lock:
             self.experiments[run_id] = state
@@ -74,14 +76,27 @@ class ExperimentBackend:
                 conf_dir = Path(__file__).resolve().parents[1] / "conf"
                 cfg = compose(conf_dir, overrides=list(overrides))
                 cfg.set("run.dir", str(run_dir))
-                ExperimentRunner(cfg, progress_callback=on_log).run()
-                state["status"] = "completed"
+                ExperimentRunner(
+                    cfg, progress_callback=on_log, stop_event=stop_event
+                ).run()
+                state["status"] = "stopped" if stop_event.is_set() else "completed"
             except Exception as e:  # surfaced to the UI, not swallowed
                 state["status"] = "failed"
                 state["error"] = f"{type(e).__name__}: {e}"
 
         threading.Thread(target=worker, daemon=True).start()
         return run_id
+
+    def stop_experiment(self, run_id: str) -> Dict[str, Any]:
+        """Request a cooperative stop: the trainer exits at the next epoch
+        boundary through its normal resumable-checkpoint path."""
+        with self._lock:
+            state = self.experiments.get(run_id)
+        if state is None:
+            return {"error": "unknown experiment"}
+        state["stop_event"].set()
+        state["stop_requested"] = True
+        return {"id": run_id, "status": state["status"], "stop_requested": True}
 
     def get_progress(self, run_id: str, since: int = 0) -> Dict[str, Any]:
         with self._lock:
@@ -91,13 +106,14 @@ class ExperimentBackend:
             return {
                 "id": run_id, "status": state["status"], "error": state["error"],
                 "run_dir": state["run_dir"], "n_records": len(state["records"]),
+                "stop_requested": state["stop_requested"],
                 "records": state["records"][since:],
             }
 
     def list_experiments(self) -> List[Dict[str, Any]]:
         with self._lock:
             return [
-                {k: v for k, v in s.items() if k != "records"}
+                {k: v for k, v in s.items() if k not in ("records", "stop_event")}
                 for s in self.experiments.values()
             ]
 
@@ -269,12 +285,18 @@ function refresh(id, since) {
 app.innerHTML = `<h2>Experiment manager</h2>
 <p>Hydra-style overrides (one per line):</p>
 <textarea id="ov" rows="4" cols="60">model=vanilla_vae\ntraining=quick\nvisualization=minimal</textarea><br>
-<button id="go">Launch training</button> <span id="state"></span>
+<button id="go">Launch training</button> <button id="stop" disabled>Stop (checkpoint + resume later)</button> <span id="state"></span>
 <pre id="log" style="height:300px;overflow-y:scroll"></pre>`;
 document.getElementById('go').onclick = () => {
   const overrides = document.getElementById('ov').value.split('\\n').map(s => s.trim()).filter(Boolean);
   fetch('/api/experiments', {method: 'POST', body: JSON.stringify({overrides})})
-    .then(r => r.json()).then(d => { document.getElementById('state').textContent = 'running ' + d.id; refresh(d.id, 0); });
+    .then(r => r.json()).then(d => {
+      document.getElementById('state').textContent = 'running ' + d.id;
+      const stop = document.getElementById('stop');
+      stop.disabled = false;
+      stop.onclick = () => fetch(`/api/experiment/${d.id}/stop`, {method: 'POST', body: '{}'});
+      refresh(d.id, 0);
+    });
 };
 """,
     "inference": """
@@ -427,6 +449,11 @@ def make_handler(state: AppState):
                 if url.path == "/api/experiments":
                     run_id = state.backend.start_experiment(payload.get("overrides", []))
                     return self._json({"id": run_id})
+                parts = url.path.strip("/").split("/")
+                if (len(parts) == 4 and parts[:2] == ["api", "experiment"]
+                        and parts[3] == "stop"):
+                    out = state.backend.stop_experiment(parts[2])
+                    return self._json(out, 404 if "error" in out else 200)
                 return self._json({"error": "not found"}, 404)
             except Exception as e:
                 return self._json({"error": f"{type(e).__name__}: {e}"}, 500)

@@ -296,6 +296,7 @@ class Trainer:
         viz_hook: Optional[Callable] = None,
         seed: int = 42,
         callbacks: Optional[list] = None,
+        stop_flag: Optional[Callable[[], bool]] = None,
     ):
         from rlvae_tpu.train.callbacks import CallbackHandler
 
@@ -377,6 +378,9 @@ class Trainer:
         # exit path, which already writes the resumable 'last' checkpoint
         self.handle_preemption = bool(trainer_cfg.get("handle_preemption", True))
         self._preempted = False
+        # cooperative stop (the app's cancel button, a supervisor): polled at
+        # every epoch boundary; same resumable-checkpoint exit as SIGTERM
+        self.stop_flag = stop_flag
         self.callbacks.on_init_end(self.cfg, trainer=self)
 
     # -- preemption ----------------------------------------------------------
@@ -553,6 +557,8 @@ class Trainer:
             if self.early_stopping.update(val_loss):
                 self.logger.log({"early_stopped_at": epoch}, step=step)
                 stop = True
+            if self.stop_flag is not None and self.stop_flag():
+                self._preempted = True  # same resumable exit as SIGTERM
             if self._preempted:
                 self.logger.log({"preempted_at": epoch}, step=step)
                 stop = True

@@ -30,7 +30,7 @@ class ExperimentRunner:
     """Orchestrates single runs, comparison studies and sweeps
     (reference: run_experiment.py:62-340)."""
 
-    def __init__(self, config: Config, progress_callback=None):
+    def __init__(self, config: Config, progress_callback=None, stop_event=None):
         from rlvae_tpu.config.schema import assert_valid
 
         assert_valid(config.to_dict())
@@ -38,6 +38,9 @@ class ExperimentRunner:
         # live per-record metrics hook for the app layer (reference:
         # StreamlitProgressCallback, app/backend/experiment_runner.py:394)
         self.progress_callback = progress_callback
+        # cooperative cancel (threading.Event or any .is_set() object): the
+        # trainer polls it at epoch boundaries and exits resumably
+        self.stop_event = stop_event
         self.run_dir = Path(config.get("run.dir", "outputs/run"))
         self.run_dir.mkdir(parents=True, exist_ok=True)
         save_config(config, self.run_dir / "config.yaml")
@@ -105,6 +108,7 @@ class ExperimentRunner:
             logger=logger,
             viz_hook=viz_hook,
             seed=seed,
+            stop_flag=self.stop_event.is_set if self.stop_event is not None else None,
         )
         return model, data_module, trainer, logger
 

@@ -127,3 +127,46 @@ def test_artifact_path_traversal_blocked(server):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status in (403, 500)
+
+
+def test_stop_experiment_checkpoints_resumably(server):
+    """POST /api/experiment/<id>/stop cancels a threaded run at the next
+    epoch boundary through the trainer's resumable-checkpoint exit."""
+    port, outputs = server
+    overrides = [
+        "model=vanilla_vae", "training=quick", "visualization=minimal",
+        "training.trainer.max_epochs=50", "training.trainer.log_every_n_steps=1",
+        "training.n_train_samples=8", "training.n_val_samples=4",
+        "data.synthetic_n_train=8", "data.synthetic_n_test=4",
+        "data.image_size=[4,4]", "model.n_flows=0", "training.model.n_flows=0",
+    ]
+    run_id = _post_json(port, "/api/experiments", {"overrides": overrides})["id"]
+
+    # wait until the run produced at least one record, then request the stop
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        p = _get_json(port, f"/api/experiments/{run_id}/progress")
+        if p["n_records"] >= 1:
+            break
+        assert p["status"] == "running", p
+        time.sleep(0.3)
+    out = _post_json(port, f"/api/experiment/{run_id}/stop", {})
+    assert out["stop_requested"] is True
+
+    while time.time() < deadline:
+        p = _get_json(port, f"/api/experiments/{run_id}/progress")
+        if p["status"] != "running":
+            break
+        time.sleep(0.3)
+    assert p["status"] == "stopped", p
+    assert p["stop_requested"] is True
+    # far fewer epochs ran than requested, and the resumable slot exists
+    from pathlib import Path
+
+    run_dir = Path(p["run_dir"])
+    assert (run_dir / "checkpoints" / "last").exists()
+    # unknown id -> 404 error payload
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        _post_json(port, "/api/experiment/nope/stop", {})
