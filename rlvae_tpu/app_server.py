@@ -454,6 +454,29 @@ def make_handler(state: AppState):
                         and parts[3] == "stop"):
                     out = state.backend.stop_experiment(parts[2])
                     return self._json(out, 404 if "error" in out else 200)
+                if (len(parts) == 4 and parts[:2] == ["api", "model"]
+                        and parts[3] == "export"):
+                    # AOT deployment bundle (rlvae_tpu/export.py) under the
+                    # run's own directory; ops/buckets from the payload
+                    from rlvae_tpu.export import export_model
+
+                    run_name = parts[2]
+                    mgr = state.manager(run_name)
+                    out_dir = state.outputs_dir / run_name / "export"
+                    n_obs = int(state.sample_batch(run_name, 1).shape[1])
+                    manifest = export_model(
+                        mgr, out_dir,
+                        ops=tuple(payload.get("ops",
+                                  ("reconstruct", "encode", "decode", "generate"))),
+                        buckets=tuple(int(b) for b in payload.get("buckets", (1, 8))),
+                        n_obs=n_obs,
+                    )
+                    return self._json({
+                        "out_dir": str(out_dir),
+                        "ops": sorted(manifest["programs"]),
+                        "buckets": manifest["buckets"],
+                        "platforms": manifest["platforms"],
+                    })
                 return self._json({"error": "not found"}, 404)
             except Exception as e:
                 return self._json({"error": f"{type(e).__name__}: {e}"}, 500)

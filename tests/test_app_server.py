@@ -170,3 +170,23 @@ def test_stop_experiment_checkpoints_resumably(server):
 
     with pytest.raises(urllib.error.HTTPError):
         _post_json(port, "/api/experiment/nope/stop", {})
+
+
+def test_export_endpoint_writes_loadable_bundle(server):
+    """POST /api/model/<run>/export writes an AOT bundle that load_exported
+    can serve (uses the run trained by the threaded-training test)."""
+    port, outputs = server
+    runs = _get_json(port, "/api/runs")
+    run_name = next(r["name"] for r in runs if r["has_checkpoint"])
+    out = _post_json(port, f"/api/model/{run_name}/export",
+                     {"ops": ["decode"], "buckets": [2]})
+    assert out["ops"] == ["decode"] and out["buckets"] == [2]
+
+    import numpy as np
+
+    from rlvae_tpu.export import load_exported
+
+    loaded = load_exported(out["out_dir"])
+    d = loaded.manifest["latent_dim"]
+    y = loaded.run("decode", np.zeros((2, d), np.float32))
+    assert y.shape[0] == 2 and np.all(np.isfinite(y))
