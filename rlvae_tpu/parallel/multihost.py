@@ -56,6 +56,23 @@ def usable_local_rows(mesh: Mesh, n_local: int) -> int:
     return (n_local // local_dev) * local_dev
 
 
+def host_epoch_perm(
+    seed: int, epoch: int, n_steps: int, local_bs: int, shard_len: int, n_dev: int
+) -> np.ndarray:
+    """The seeded [n_steps, n_dev, local_bs] shard-LOCAL index matrix as host
+    numpy — the single source of the epoch shuffle for BOTH the resident
+    sharded epoch (staged via :func:`epoch_perm`) and the chunked sharded
+    epoch (host-side row gather), so the two paths see identical batches."""
+    rng = np.random.default_rng(seed + epoch)
+    return np.stack(
+        [
+            rng.permutation(shard_len)[: n_steps * local_bs].reshape(n_steps, local_bs)
+            for _ in range(n_dev)
+        ],
+        axis=1,
+    ).astype(np.int32)  # [steps, n_dev, local_bs]
+
+
 def epoch_perm(
     mesh: Mesh,
     seed: int,
@@ -73,14 +90,7 @@ def epoch_perm(
     for any process count and device order.
     """
     n_dev = mesh.shape[DATA_AXIS] if n_dev is None else n_dev
-    rng = np.random.default_rng(seed + epoch)
-    perm = np.stack(
-        [
-            rng.permutation(shard_len)[: n_steps * local_bs].reshape(n_steps, local_bs)
-            for _ in range(n_dev)
-        ],
-        axis=1,
-    ).astype(np.int32)  # [steps, n_dev, local_bs]
+    perm = host_epoch_perm(seed, epoch, n_steps, local_bs, shard_len, n_dev)
     sharding = NamedSharding(mesh, P(None, DATA_AXIS, None))
     return jax.make_array_from_callback(perm.shape, sharding, lambda idx: perm[idx])
 

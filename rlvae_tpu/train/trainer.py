@@ -258,6 +258,66 @@ def _eval_metrics(model: RlVAE, variables, batch, key):
     return metrics
 
 
+def init_epoch_keys(mesh, key):
+    """Per-device epoch key carry, sharded over the data axis: device i holds
+    ``fold_in(key, i)`` — the exact key the resident sharded epoch derives
+    inside its shard_map (make_epoch_fn_sharded.local_epoch)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from rlvae_tpu.parallel.mesh import DATA_AXIS
+
+    def f(k):
+        return jax.random.fold_in(k[0], jax.lax.axis_index(DATA_AXIS))[None]
+
+    return jax.jit(
+        shard_map(f, mesh=mesh, in_specs=P(), out_specs=P(DATA_AXIS),
+                  check_rep=False)
+    )(key[None])
+
+
+def make_epoch_fn_sharded_chunked(model: RlVAE, optimizer, mesh) -> Callable:
+    """Chunked variant of :func:`make_epoch_fn_sharded` for datasets larger
+    than the mesh's combined HBM.
+
+    Scans ``[S, n_dev, local_bs, ...]`` pre-gathered batches (sharded over
+    the data axis) instead of a resident dataset; the per-device PRNG key is
+    an explicit carry threaded BETWEEN chunk calls, and the in-chunk
+    split/step sequence matches the resident path exactly — so a chunked
+    epoch is bit-identical to the resident sharded epoch fed the same
+    permutation (tested), and to itself under any chunk size."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from rlvae_tpu.parallel.mesh import DATA_AXIS
+
+    def chunk_fn(variables, opt_state, batches, keys):
+        def local_chunk(variables, opt_state, local_batches, key):
+            def body(carry, batch):
+                variables, opt_state, k = carry
+                k, k_step = jax.random.split(k)
+                variables, opt_state, metrics = _step_body(
+                    model, optimizer, variables, opt_state, batch, k_step,
+                    pmean_axis=DATA_AXIS,
+                )
+                return (variables, opt_state, k), metrics
+
+            (variables, opt_state, k), metrics = jax.lax.scan(
+                body, (variables, opt_state, key[0]), local_batches[:, 0]
+            )
+            return variables, opt_state, metrics, k[None]
+
+        return shard_map(
+            local_chunk,
+            mesh=mesh,
+            in_specs=(P(), P(), P(None, DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P(), P(), P(DATA_AXIS)),
+            check_rep=False,
+        )(variables, opt_state, batches, keys)
+
+    return jax.jit(chunk_fn, donate_argnums=(0, 1))
+
+
 def make_eval_step(model: RlVAE) -> Callable:
     def eval_step(variables, batch, key):
         return _eval_metrics(model, variables, batch, key)
@@ -367,9 +427,16 @@ class Trainer:
             self._epoch_fn = make_epoch_fn_chunked(model, self.optimizer)
         elif n_dev == 1:
             self._epoch_fn = make_epoch_fn(model, self.optimizer)
+        elif self.chunk_steps > 0 and jax.process_count() == 1:
+            # larger-than-mesh-HBM datasets on a single host's mesh (the
+            # v5e-8 target): chunked scans sharded over the data axis
+            self._epoch_fn = make_epoch_fn_sharded_chunked(
+                model, self.optimizer, self.mesh
+            )
         else:
             self._epoch_fn = make_epoch_fn_sharded(model, self.optimizer, self.mesh)
         self._device_data = None
+        self._host_rows = None  # chunked sharded path keeps rows on host
         self.profile = bool(trainer_cfg.get("profile", False))
         self.history: list[Dict[str, float]] = []
         # preemption tolerance: a SIGTERM (TPU-pod eviction, SLURM requeue —
@@ -637,10 +704,71 @@ class Trainer:
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *outs)
         return variables, opt_state, stacked, n
 
+    def _run_epoch_jit_sharded_chunked(self, variables, opt_state, epoch: int, key):
+        """Chunked epoch over a single-host data-parallel mesh.
+
+        Same host-gather + double-buffered staging as the single-device
+        chunked path, but each chunk is a ``[S, n_dev, local_bs, ...]``
+        array sharded over the data axis and the per-device key carry is
+        threaded between chunk dispatches — batches AND keys match the
+        resident sharded epoch exactly (bit-identical result, tested)."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from rlvae_tpu.parallel.mesh import DATA_AXIS
+        from rlvae_tpu.parallel.multihost import host_epoch_perm, usable_local_rows
+
+        bs = self.data.batch_size
+        local_bs = bs // self.n_devices
+        if self._host_rows is None:
+            usable = usable_local_rows(self.mesh, len(self.data.train))
+            rows = np.asarray(self.data.train.data[:usable])
+            # same seeded staging shuffle as the resident path
+            gperm = np.random.default_rng(
+                self.seed + jax.process_index()
+            ).permutation(usable)
+            self._host_rows = rows[gperm]
+        shard_len = len(self._host_rows) // self.n_devices
+        n = (shard_len * self.n_devices) // bs
+        if n == 0:
+            return variables, opt_state, {}, 0
+        perm = host_epoch_perm(self.seed, epoch, n, local_bs, shard_len, self.n_devices)
+        rows_dev = self._host_rows.reshape(
+            self.n_devices, shard_len, *self._host_rows.shape[1:]
+        )
+        sharding = NamedSharding(self.mesh, P(None, DATA_AXIS, None))
+        spans = [(c, min(c + self.chunk_steps, n))
+                 for c in range(0, n, self.chunk_steps)]
+
+        def stage(c0, c1):
+            # [S, n_dev, local_bs, ...]: device j's column gathered from ITS
+            # contiguous shard — identical rows to the resident staging
+            chunk = rows_dev[
+                np.arange(self.n_devices)[None, :, None], perm[c0:c1]
+            ]
+            return jax.device_put(chunk, sharding)
+
+        keys = init_epoch_keys(self.mesh, key)
+        nxt = stage(*spans[0])
+        outs = []
+        for i, (c0, c1) in enumerate(spans):
+            cur, nxt = nxt, (stage(*spans[i + 1]) if i + 1 < len(spans) else None)
+            variables, opt_state, m, keys = self._epoch_fn(
+                variables, opt_state, cur, keys
+            )
+            outs.append(m)
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *outs)
+        return variables, opt_state, stacked, n
+
     def _run_epoch_jit(self, variables, opt_state, epoch: int, key):
         """One compiled-epoch dispatch: stage data once, scan over batches."""
         if self.n_devices == 1 and self.chunk_steps > 0:
             return self._run_epoch_jit_chunked(variables, opt_state, epoch, key)
+        if (self.n_devices > 1 and self.chunk_steps > 0
+                and jax.process_count() == 1):
+            return self._run_epoch_jit_sharded_chunked(
+                variables, opt_state, epoch, key
+            )
         bs = self.data.batch_size
         n = self.data.steps_per_epoch()
         rng = np.random.default_rng(self.seed + epoch)

@@ -495,3 +495,31 @@ def test_eval_jit_matches_per_batch_loop(tmp_path):
     assert set(a) == set(b) and "loss" in a
     for k in a:
         assert a[k] == b[k], (k, a[k], b[k])
+
+
+def test_sharded_chunked_matches_resident_epoch(tmp_path):
+    """Chunked sharded epoch (larger-than-mesh-HBM datasets) is BIT-identical
+    to the resident sharded epoch on the 8-device mesh: same staging
+    shuffle, same shard-local permutations, same per-device key carry."""
+    def fit(chunk_steps, tag):
+        model = _tiny_model()
+        dm = CyclicDataModule(DATA_CFG)
+        cfg = {
+            **TRAIN_CFG,
+            "data": {"batch_size": 8},
+            "trainer": {**TRAIN_CFG["trainer"], "devices": 8,
+                        **({"epoch_jit_chunk_steps": chunk_steps}
+                           if chunk_steps else {})},
+        }
+        dm.setup(cfg)
+        t = Trainer(model, dm, cfg, run_dir=tmp_path / tag, seed=5)
+        assert t.n_devices == 8 and t.epoch_jit
+        return t.fit()
+
+    resident = fit(0, "resident")
+    chunked = fit(1, "chunk1")
+    assert resident["epochs_run"] == chunked["epochs_run"] == 2
+    assert resident["best_val_loss"] == chunked["best_val_loss"]
+    h_res = [m["train/loss"] for m in resident["history"] if "train/loss" in m]
+    h_chk = [m["train/loss"] for m in chunked["history"] if "train/loss" in m]
+    assert h_res and h_res == h_chk
