@@ -128,6 +128,9 @@ class AppState:
         self._engines: Dict[str, Any] = {}
         self._data_modules: Dict[str, Any] = {}
         self._lock = threading.Lock()
+        # serializes bundle writes: concurrent exports of the same run would
+        # interleave into corrupt weights.npz/manifest.json
+        self._export_lock = threading.Lock()
 
     def list_runs(self) -> List[Dict[str, Any]]:
         import yaml
@@ -202,7 +205,12 @@ class AppState:
         one seed; concurrent requests coalesce, outputs stay per-seed
         reproducible)."""
         eng = self.engine(run_name)
-        futures = [eng.submit("generate", np.uint32(s)) for s in seeds]
+        # mask to uint32 range: negative seeds are legal for PRNGKey (whose
+        # key data is these same wrapped bits) but overflow np.uint32 on
+        # numpy>=2
+        futures = [
+            eng.submit("generate", np.uint32(int(s) & 0xFFFFFFFF)) for s in seeds
+        ]
         return np.stack([np.asarray(f.result(timeout=timeout)) for f in futures])
 
     def sample_batch(self, run_name: str, n: int = 4) -> np.ndarray:
@@ -433,7 +441,7 @@ def make_handler(state: AppState):
                     with state._lock:
                         engines = dict(state._engines)
                     return self._json(
-                        {name: e.stats.snapshot() for name, e in engines.items()}
+                        {name: e.stats_snapshot() for name, e in engines.items()}
                     )
                 if len(parts) == 4 and parts[:2] == ["api", "model"]:
                     return self._model_api(parts[2], parts[3], q)
@@ -464,13 +472,14 @@ def make_handler(state: AppState):
                     mgr = state.manager(run_name)
                     out_dir = state.outputs_dir / run_name / "export"
                     n_obs = int(state.sample_batch(run_name, 1).shape[1])
-                    manifest = export_model(
-                        mgr, out_dir,
-                        ops=tuple(payload.get("ops",
-                                  ("reconstruct", "encode", "decode", "generate"))),
-                        buckets=tuple(int(b) for b in payload.get("buckets", (1, 8))),
-                        n_obs=n_obs,
-                    )
+                    with state._export_lock:
+                        manifest = export_model(
+                            mgr, out_dir,
+                            ops=tuple(payload.get("ops",
+                                      ("reconstruct", "encode", "decode", "generate"))),
+                            buckets=tuple(int(b) for b in payload.get("buckets", (1, 8))),
+                            n_obs=n_obs,
+                        )
                     return self._json({
                         "out_dir": str(out_dir),
                         "ops": sorted(manifest["programs"]),

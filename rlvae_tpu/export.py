@@ -180,6 +180,8 @@ class ExportedModel:
             raise KeyError(f"unknown op {op!r}; have {self.ops}")
         progs = self._programs[op]
         n = int(np.shape(batch)[0])
+        if n == 0:
+            raise ValueError(f"empty batch for {op!r}")
         fit = [b for b in progs if b >= n]
         if not fit:
             raise ValueError(

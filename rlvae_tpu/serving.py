@@ -158,16 +158,35 @@ class BatchingEngine:
         this item's output row."""
         if op not in self.ops:
             raise KeyError(f"unknown op {op!r}; have {sorted(self.ops)}")
-        if self._stop.is_set():
-            raise RuntimeError("BatchingEngine is stopped")
         req = _Request(op, np.asarray(item), None)
-        self._queues[op].put(req)
+        # the stop check and the enqueue are one atomic section against
+        # stop()'s drain (same lock), so no request can slip into a dead
+        # queue after the drain and strand its waiter
+        with self._lock:
+            if self._stop.is_set():
+                raise RuntimeError("BatchingEngine is stopped")
+            # put_nowait: blocking here would hold the lock the dispatcher
+            # needs for stats and deadlock; a full queue is explicit
+            # backpressure instead
+            try:
+                self._queues[op].put_nowait(req)
+            except queue.Full:
+                raise RuntimeError(
+                    f"serving queue for {op!r} is full "
+                    f"({self.config.queue_capacity} pending)"
+                ) from None
         self._wakeup.set()
         return req.future
 
     def run(self, op: str, item: np.ndarray, timeout: Optional[float] = 30.0):
         """Blocking convenience wrapper around :meth:`submit`."""
         return self.submit(op, item).result(timeout=timeout)
+
+    def stats_snapshot(self) -> Dict[str, Any]:
+        """Thread-safe stats view (the dispatcher mutates the counters under
+        the same lock; iterating them lock-free can raise mid-mutation)."""
+        with self._lock:
+            return self.stats.snapshot()
 
     def warmup(self, example_items: Dict[str, np.ndarray], buckets: Optional[Sequence[int]] = None):
         """Compile every (op, bucket) program up front so no request ever
@@ -179,18 +198,20 @@ class BatchingEngine:
                 np.asarray(fn(batch))
 
     def stop(self, timeout: float = 10.0):
-        """Stop the dispatcher.  Requests still queued (and any raced past the
-        stop flag in :meth:`submit`) fail fast with ``RuntimeError`` rather
-        than hanging until the client timeout."""
+        """Stop the dispatcher.  Requests still queued fail fast with
+        ``RuntimeError`` rather than hanging until the client timeout; the
+        drain runs under the same lock as submit()'s stop-check+enqueue, so
+        no request can race past it."""
         self._stop.set()
         self._wakeup.set()
         self._thread.join(timeout=timeout)
-        for op in self._queues:
-            for req in self._drain(op, self.config.queue_capacity):
-                if not req.future.cancelled():
-                    req.future.set_exception(
-                        RuntimeError("BatchingEngine stopped before dispatch")
-                    )
+        with self._lock:
+            for op in self._queues:
+                for req in self._drain(op, self.config.queue_capacity):
+                    if not req.future.cancelled():
+                        req.future.set_exception(
+                            RuntimeError("BatchingEngine stopped before dispatch")
+                        )
 
     # -- dispatcher ---------------------------------------------------------
 

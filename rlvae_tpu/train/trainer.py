@@ -16,6 +16,7 @@ TPU-first mechanics:
 
 from __future__ import annotations
 
+import functools
 import time
 from pathlib import Path
 from typing import Any, Callable, Dict, Mapping, Optional
@@ -258,10 +259,11 @@ def _eval_metrics(model: RlVAE, variables, batch, key):
     return metrics
 
 
-def init_epoch_keys(mesh, key):
-    """Per-device epoch key carry, sharded over the data axis: device i holds
-    ``fold_in(key, i)`` — the exact key the resident sharded epoch derives
-    inside its shard_map (make_epoch_fn_sharded.local_epoch)."""
+@functools.lru_cache(maxsize=8)
+def _epoch_keys_fn(mesh):
+    """Jitted per-mesh program behind :func:`init_epoch_keys` (cached on
+    function identity — a fresh closure per call would retrace every
+    epoch)."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -273,7 +275,14 @@ def init_epoch_keys(mesh, key):
     return jax.jit(
         shard_map(f, mesh=mesh, in_specs=P(), out_specs=P(DATA_AXIS),
                   check_rep=False)
-    )(key[None])
+    )
+
+
+def init_epoch_keys(mesh, key):
+    """Per-device epoch key carry, sharded over the data axis: device i holds
+    ``fold_in(key, i)`` — the exact key the resident sharded epoch derives
+    inside its shard_map (make_epoch_fn_sharded.local_epoch)."""
+    return _epoch_keys_fn(mesh)(key[None])
 
 
 def make_epoch_fn_sharded_chunked(model: RlVAE, optimizer, mesh) -> Callable:
@@ -528,110 +537,124 @@ class Trainer:
         timer = StepTimer()
         epoch = start_epoch - 1
         prev_handler = self._install_preemption_handler()
-        self.callbacks.on_train_begin(self.cfg, trainer=self)
-        for epoch in range(start_epoch, self.max_epochs):
-            t_epoch = time.time()
-            self.callbacks.on_epoch_begin(self.cfg, epoch=epoch, trainer=self)
-            train_metrics: list = []
-            profiling_this_epoch = self.profile and epoch == 0
-            with trace(self.run_dir / "profile", enabled=profiling_this_epoch):
-                if self._epoch_fn is not None:
-                    key, k_epoch = jax.random.split(key)
-                    variables, opt_state, stacked, n_steps = self._run_epoch_jit(
-                        variables, opt_state, epoch, k_epoch
-                    )
-                    fetched = jax.device_get(stacked)  # one transfer per epoch
-                    lr = get_lr(opt_state)  # constant within the epoch: fetch once
-                    for s in range(n_steps):
-                        step += 1
-                        if step % self.log_every == 0:
-                            host = {
-                                f"train/{k}": float(v[s]) for k, v in fetched.items()
-                            }
-                            host["lr"] = lr
-                            self.logger.log(host, step=step)
-                            self.callbacks.on_train_step_end(self.cfg, step=step, logs=host)
-                            self.callbacks.on_log(self.cfg, host, step=step)
-                    if n_steps:  # dataset smaller than the batch: no steps ran
-                        train_metrics.append(
-                            {k: float(v[-1]) for k, v in fetched.items()}
+        try:
+            self.callbacks.on_train_begin(self.cfg, trainer=self)
+            for epoch in range(start_epoch, self.max_epochs):
+                t_epoch = time.time()
+                # poll the cooperative stop BEFORE the epoch too: a cancelled
+                # comparison/sweep must not train a full epoch of every
+                # remaining model before noticing the shared stop_event
+                if self.stop_flag is not None and self.stop_flag():
+                    self._preempted = True
+                if self._preempted:
+                    self.logger.log({"preempted_at": epoch}, step=step)
+                    epoch -= 1  # this epoch did NOT run (epochs_run = epoch + 1)
+                    break
+                self.callbacks.on_epoch_begin(self.cfg, epoch=epoch, trainer=self)
+                train_metrics: list = []
+                profiling_this_epoch = self.profile and epoch == 0
+                with trace(self.run_dir / "profile", enabled=profiling_this_epoch):
+                    if self._epoch_fn is not None:
+                        key, k_epoch = jax.random.split(key)
+                        variables, opt_state, stacked, n_steps = self._run_epoch_jit(
+                            variables, opt_state, epoch, k_epoch
                         )
-                else:
-                    for device_batch in _device_prefetch(
-                        self.data.train_batches(epoch), bsharding, self.n_devices
-                    ):
-                        self.callbacks.call_event(
-                            "on_train_step_begin", self.cfg, step=step
-                        )
-                        key, k_step = jax.random.split(key)
-                        timer.start()
-                        variables, opt_state, metrics = self._train_step(
-                            variables, opt_state, device_batch, k_step
-                        )
-                        # gate on the POST-increment step so the iteration
-                        # that is synchronously timed is the one logged
-                        if (step + 1) % self.log_every == 0:
-                            jax.block_until_ready(metrics)
-                        timer.stop()
-                        train_metrics.append(metrics)
-                        step += 1
-                        if step % self.log_every == 0:
-                            # one device->host transfer for the whole metrics dict
-                            fetched = jax.device_get(metrics)
-                            host = {f"train/{k}": float(v) for k, v in fetched.items()}
-                            host["lr"] = get_lr(opt_state)
-                            host.update(timer.metrics())
-                            self.logger.log(host, step=step)
-                            self.callbacks.on_train_step_end(self.cfg, step=step, logs=host)
-                            self.callbacks.on_log(self.cfg, host, step=step)
+                        fetched = jax.device_get(stacked)  # one transfer per epoch
+                        lr = get_lr(opt_state)  # constant within the epoch: fetch once
+                        for s in range(n_steps):
+                            step += 1
+                            if step % self.log_every == 0:
+                                host = {
+                                    f"train/{k}": float(v[s]) for k, v in fetched.items()
+                                }
+                                host["lr"] = lr
+                                self.logger.log(host, step=step)
+                                self.callbacks.on_train_step_end(self.cfg, step=step, logs=host)
+                                self.callbacks.on_log(self.cfg, host, step=step)
+                        if n_steps:  # dataset smaller than the batch: no steps ran
+                            train_metrics.append(
+                                {k: float(v[-1]) for k, v in fetched.items()}
+                            )
+                    else:
+                        for device_batch in _device_prefetch(
+                            self.data.train_batches(epoch), bsharding, self.n_devices
+                        ):
+                            self.callbacks.call_event(
+                                "on_train_step_begin", self.cfg, step=step
+                            )
+                            key, k_step = jax.random.split(key)
+                            timer.start()
+                            variables, opt_state, metrics = self._train_step(
+                                variables, opt_state, device_batch, k_step
+                            )
+                            # gate on the POST-increment step so the iteration
+                            # that is synchronously timed is the one logged
+                            if (step + 1) % self.log_every == 0:
+                                jax.block_until_ready(metrics)
+                            timer.stop()
+                            train_metrics.append(metrics)
+                            step += 1
+                            if step % self.log_every == 0:
+                                # one device->host transfer for the whole metrics dict
+                                fetched = jax.device_get(metrics)
+                                host = {f"train/{k}": float(v) for k, v in fetched.items()}
+                                host["lr"] = get_lr(opt_state)
+                                host.update(timer.metrics())
+                                self.logger.log(host, step=step)
+                                self.callbacks.on_train_step_end(self.cfg, step=step, logs=host)
+                                self.callbacks.on_log(self.cfg, host, step=step)
 
-            val_metrics = self.evaluate("val", key=jax.random.fold_in(key, epoch), variables=variables)
-            val_loss = val_metrics.get("loss", float("nan"))
+                val_metrics = self.evaluate("val", key=jax.random.fold_in(key, epoch), variables=variables)
+                val_loss = val_metrics.get("loss", float("nan"))
 
-            lr = get_lr(opt_state)
-            new_lr = self.scheduler.step(val_loss, lr)
-            if new_lr != lr:
-                opt_state = set_lr(opt_state, new_lr)
+                lr = get_lr(opt_state)
+                new_lr = self.scheduler.step(val_loss, lr)
+                if new_lr != lr:
+                    opt_state = set_lr(opt_state, new_lr)
 
-            epoch_summary = {
-                "epoch": epoch,
-                "epoch_time": time.time() - t_epoch,
-                **{f"val/{k}": v for k, v in val_metrics.items()},
-            }
-            if train_metrics:
-                # one transfer for the dict (per-scalar float() is a ~ms
-                # tunnel round-trip each); no-op for the epoch-jit path,
-                # whose entries are already host floats
-                last = jax.device_get(train_metrics[-1])
-                epoch_summary.update({f"train/{k}": float(v) for k, v in last.items()})
-            self.logger.log(epoch_summary, step=step)
-            self.history.append(epoch_summary)
-            self.callbacks.on_evaluate(self.cfg, epoch=epoch, metrics=val_metrics)
-            self.callbacks.on_epoch_end(
-                self.cfg, epoch=epoch, logs=epoch_summary, trainer=self
-            )
-
-            if val_loss < best_val:
-                best_val = val_loss
-                self.checkpoints.save(
-                    "best", {"variables": variables, "step": step, "val_loss": val_loss}
+                epoch_summary = {
+                    "epoch": epoch,
+                    "epoch_time": time.time() - t_epoch,
+                    **{f"val/{k}": v for k, v in val_metrics.items()},
+                }
+                if train_metrics:
+                    # one transfer for the dict (per-scalar float() is a ~ms
+                    # tunnel round-trip each); no-op for the epoch-jit path,
+                    # whose entries are already host floats
+                    last = jax.device_get(train_metrics[-1])
+                    epoch_summary.update({f"train/{k}": float(v) for k, v in last.items()})
+                self.logger.log(epoch_summary, step=step)
+                self.history.append(epoch_summary)
+                self.callbacks.on_evaluate(self.cfg, epoch=epoch, metrics=val_metrics)
+                self.callbacks.on_epoch_end(
+                    self.cfg, epoch=epoch, logs=epoch_summary, trainer=self
                 )
-                self.callbacks.on_save(self.cfg, slot="best", step=step)
 
-            if self.viz_hook is not None:
-                self.viz_hook(epoch=epoch, model=self.model, variables=variables, trainer=self)
+                if val_loss < best_val:
+                    best_val = val_loss
+                    self.checkpoints.save(
+                        "best", {"variables": variables, "step": step, "val_loss": val_loss}
+                    )
+                    self.callbacks.on_save(self.cfg, slot="best", step=step)
 
-            if self.early_stopping.update(val_loss):
-                self.logger.log({"early_stopped_at": epoch}, step=step)
-                stop = True
-            if self.stop_flag is not None and self.stop_flag():
-                self._preempted = True  # same resumable exit as SIGTERM
-            if self._preempted:
-                self.logger.log({"preempted_at": epoch}, step=step)
-                stop = True
-            if stop:
-                break
-        self._restore_preemption_handler(prev_handler)
+                if self.viz_hook is not None:
+                    self.viz_hook(epoch=epoch, model=self.model, variables=variables, trainer=self)
+
+                if self.early_stopping.update(val_loss):
+                    self.logger.log({"early_stopped_at": epoch}, step=step)
+                    stop = True
+                if self.stop_flag is not None and self.stop_flag():
+                    self._preempted = True  # same resumable exit as SIGTERM
+                if self._preempted:
+                    self.logger.log({"preempted_at": epoch}, step=step)
+                    stop = True
+                if stop:
+                    break
+        finally:
+            # an exception mid-fit must not leak the SIGTERM handler (its
+            # closure would pin this Trainer and shadow the caller's handler
+            # for every later SIGTERM in this process)
+            self._restore_preemption_handler(prev_handler)
 
         opt_leaves = {
             str(i): leaf
@@ -841,22 +864,33 @@ class Trainer:
 
         results: Dict[int, Dict[str, float]] = {}
         if self._eval_fn is not None and len(batches) > 1:
-            # compiled whole-split eval: full-size batches go through ONE
-            # scan dispatch with the same fold_in(key, i) per-batch keys as
-            # the loop (bit-identical results); odd-sized remainders take
-            # the per-batch program
+            # compiled whole-split eval: full-size batches go through scan
+            # dispatches with the same fold_in(key, i) per-batch keys as the
+            # loop (bit-identical results); odd-sized remainders take the
+            # per-batch program.  When the larger-than-HBM knob is set
+            # (epoch_jit_chunk_steps) the split is staged in chunks of that
+            # many batches — eval must not stage what training could not.
             size0 = batches[0].shape[0]
             full = [i for i, b in enumerate(batches) if b.shape[0] == size0]
-            stacked = jax.device_put(
-                np.stack([np.asarray(batches[i], np.float32) for i in full])
-            )
-            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-                jnp.asarray(full, jnp.uint32)
-            )
-            fetched = jax.device_get(self._eval_fn(variables, stacked, keys))
-            for j, i in enumerate(full):
-                results[i] = {k: float(v[j]) for k, v in fetched.items()}
-            for i in set(range(len(batches))) - set(full):
+            per_batch = set(range(len(batches))) - set(full)
+            S = self.chunk_steps if self.chunk_steps > 0 else len(full)
+            for g0 in range(0, len(full), S):
+                grp = full[g0:g0 + S]
+                if len(grp) < S and g0 > 0:
+                    # trailing partial chunk: per-batch program instead of
+                    # compiling a second scan shape
+                    per_batch.update(grp)
+                    break
+                stacked = jax.device_put(
+                    np.stack([np.asarray(batches[i], np.float32) for i in grp])
+                )
+                keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                    jnp.asarray(grp, jnp.uint32)
+                )
+                fetched = jax.device_get(self._eval_fn(variables, stacked, keys))
+                for j, i in enumerate(grp):
+                    results[i] = {k: float(v[j]) for k, v in fetched.items()}
+            for i in per_batch:
                 metrics = jax.device_get(self._eval_step(
                     variables,
                     jax.device_put(np.asarray(batches[i], np.float32)),

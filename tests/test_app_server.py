@@ -190,3 +190,13 @@ def test_export_endpoint_writes_loadable_bundle(server):
     d = loaded.manifest["latent_dim"]
     y = loaded.run("decode", np.zeros((2, d), np.float32))
     assert y.shape[0] == 2 and np.all(np.isfinite(y))
+
+
+def test_generate_accepts_negative_seed(server):
+    """seed=-1 worked on the pre-engine path (PRNGKey takes negative ints);
+    the engine path masks to uint32 instead of overflowing on numpy>=2."""
+    port, _ = server
+    runs = _get_json(port, "/api/runs")
+    run_name = next(r["name"] for r in runs if r["has_checkpoint"])
+    gen = _get_json(port, f"/api/model/{run_name}/generate?n=2&seed=-1")
+    assert len(gen["rows"]) == 2

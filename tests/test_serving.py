@@ -207,3 +207,27 @@ def test_generate_seeded_batching_matches_direct():
         np.testing.assert_allclose(lone, got[1], rtol=1e-5, atol=1e-5)
     finally:
         eng.stop()
+
+
+def test_queue_full_is_explicit_backpressure():
+    """A full queue raises instead of blocking while holding the engine
+    lock (which would deadlock against the dispatcher's stats update)."""
+    gate = threading.Event()
+
+    def slow(x):
+        gate.wait(timeout=10)
+        return np.asarray(x)
+
+    eng = BatchingEngine({"op": slow},
+                         ServeConfig(buckets=(1,), max_wait_ms=0.0,
+                                     queue_capacity=2))
+    try:
+        f0 = eng.submit("op", np.float32([0.0]))  # occupies the dispatcher
+        time.sleep(0.05)
+        eng.submit("op", np.float32([1.0]))
+        eng.submit("op", np.float32([2.0]))
+        with pytest.raises(RuntimeError, match="full"):
+            eng.submit("op", np.float32([3.0]))
+    finally:
+        gate.set()
+        eng.stop()

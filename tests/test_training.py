@@ -496,6 +496,13 @@ def test_eval_jit_matches_per_batch_loop(tmp_path):
     for k in a:
         assert a[k] == b[k], (k, a[k], b[k])
 
+    # larger-than-HBM mode: eval stages at most chunk_steps batches per
+    # dispatch and still matches bit-for-bit
+    cfg_chunk = {**cfg, "trainer": {**cfg["trainer"], "epoch_jit_chunk_steps": 1}}
+    t_chunk = Trainer(model, dm, cfg_chunk, run_dir=tmp_path / "c", seed=3)
+    c = t_chunk.evaluate(split="val", key=key, variables=variables)
+    assert c == a
+
 
 def test_sharded_chunked_matches_resident_epoch(tmp_path):
     """Chunked sharded epoch (larger-than-mesh-HBM datasets) is BIT-identical
@@ -523,3 +530,43 @@ def test_sharded_chunked_matches_resident_epoch(tmp_path):
     h_res = [m["train/loss"] for m in resident["history"] if "train/loss" in m]
     h_chk = [m["train/loss"] for m in chunked["history"] if "train/loss" in m]
     assert h_res and h_res == h_chk
+
+
+def test_stop_flag_set_before_fit_runs_zero_epochs(tmp_path):
+    """A cancelled comparison/sweep must not train a full epoch of every
+    remaining model: the stop flag is polled at epoch ENTRY."""
+    model = _tiny_model()
+    dm = CyclicDataModule(DATA_CFG)
+    dm.setup(TRAIN_CFG)
+    trainer = Trainer(model, dm, TRAIN_CFG, run_dir=tmp_path,
+                      stop_flag=lambda: True)
+    result = trainer.fit()
+    assert result["preempted"] is True
+    assert result["epochs_run"] == 0
+
+
+def test_preemption_handler_restored_on_exception(tmp_path):
+    """An exception mid-fit must not leak the SIGTERM handler."""
+    import signal
+
+    model = _tiny_model()
+    dm = CyclicDataModule(DATA_CFG)
+    dm.setup(TRAIN_CFG)
+    trainer = Trainer(model, dm, TRAIN_CFG, run_dir=tmp_path)
+
+    def boom(cfg_, **kw):
+        raise RuntimeError("boom")
+
+    trainer.callbacks.on_epoch_begin = boom
+    before = signal.getsignal(signal.SIGTERM)
+    with pytest.raises(RuntimeError, match="boom"):
+        trainer.fit()
+    assert signal.getsignal(signal.SIGTERM) == before
+
+
+def test_epoch_keys_program_cached():
+    from rlvae_tpu.parallel import create_mesh
+    from rlvae_tpu.train.trainer import _epoch_keys_fn
+
+    mesh = create_mesh(n_devices=8)
+    assert _epoch_keys_fn(mesh) is _epoch_keys_fn(mesh)
