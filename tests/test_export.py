@@ -136,3 +136,48 @@ def test_format_version_enforced(manager, tmp_path):
     (tmp_path / "manifest.json").write_text(json.dumps(m))
     with pytest.raises(ValueError, match="unsupported export format"):
         load_exported(tmp_path)
+
+
+def test_bundle_server_serves_over_http(manager, tmp_path):
+    """The standalone deployment host (bundle + jax only) serves the
+    exported programs over HTTP with dynamic batching."""
+    import json
+    import urllib.request
+
+    from rlvae_tpu.bundle_server import serve_bundle
+
+    export_model(manager, tmp_path, ops=("decode",), buckets=(1, 4), n_obs=4)
+    httpd, engine = serve_bundle(tmp_path, port=0, max_wait_ms=20.0)
+    port = httpd.server_address[1]
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=120) as r:
+                return json.loads(r.read())
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(), method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        ops = get("/ops")
+        assert ops["ops"] == {"decode": [1, 4]}
+        assert ops["manifest"]["latent_dim"] == 4
+
+        z = np.random.default_rng(0).normal(size=(3, 4)).astype(np.float32)
+        out = post("/v1/decode", {"items": z.tolist()})
+        got = np.asarray(out["outputs"], np.float32)
+        np.testing.assert_allclose(got, manager.decode(z), rtol=1e-5, atol=1e-5)
+        stats = get("/stats")
+        assert stats["requests"] == 3
+
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            post("/v1/nope", {"items": [[0.0]]})
+        with pytest.raises(urllib.error.HTTPError):
+            post("/v1/decode", {"items": []})
+    finally:
+        httpd.shutdown()
+        engine.stop()
