@@ -118,6 +118,25 @@ def main():
         variables2["params"]
     )
 
+    # ---- chunked sharded epoch (larger-than-mesh-HBM path) ----------------
+    from rlvae_tpu.train.trainer import make_epoch_fn_sharded_chunked, init_epoch_keys
+
+    chunk_fn = make_epoch_fn_sharded_chunked(model2, optimizer2, mesh2)
+    cbatches = jax.device_put(
+        jnp.asarray(
+            rng.uniform(size=(steps, n_dev, local_bs, 4, 3, 8, 8)), jnp.float32
+        ),
+        NamedSharding(mesh2, P(None, "data", None)),
+    )
+    ckeys = init_epoch_keys(mesh2, jax.random.PRNGKey(2))
+    report["epoch_jit_sharded_chunked"] = audit(
+        chunk_fn, (v2, o2, cbatches, ckeys)
+    )
+    report["epoch_jit_sharded_chunked"]["note"] = (
+        "same per-step pmean plan as the resident epoch; collective count "
+        "scales with steps-per-chunk only, never with the chunk count"
+    )
+
     # ---- DP x EP: centroid-sharded metric HMC terms -----------------------
     from rlvae_tpu.geometry import metric as gm
     from rlvae_tpu.parallel import metric_parallel as mp

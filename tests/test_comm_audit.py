@@ -157,3 +157,33 @@ def test_ep_metric_terms_one_psum_payload_independent_of_k():
         expected = (b // 4) * (d * d + d) * 4
         assert c["all-reduce"]["bytes"] == expected, (k, c, expected)
     assert plans[64]["collectives"] == plans[256]["collectives"], plans
+
+
+def test_chunked_sharded_epoch_plan_matches_resident():
+    """The chunked sharded epoch (larger-than-mesh-HBM path) must carry the
+    SAME per-step collective plan as the resident epoch — collectives scale
+    with steps-per-chunk only, never with the chunk count, and the pre-
+    gathered batches must never be re-gathered."""
+    from rlvae_tpu.train.trainer import init_epoch_keys, make_epoch_fn_sharded_chunked
+
+    def compile_summary(steps):
+        model, variables, optimizer = _build()
+        mesh = create_mesh()
+        chunk_fn = make_epoch_fn_sharded_chunked(model, optimizer, mesh)
+        rng = np.random.default_rng(0)
+        batches = jax.device_put(
+            jnp.asarray(rng.uniform(size=(steps, 8, 2, 4, 3, 8, 8)), jnp.float32),
+            NamedSharding(mesh, P(None, "data", None)),
+        )
+        keys = init_epoch_keys(mesh, jax.random.PRNGKey(2))
+        v = replicate(mesh, variables)
+        o = replicate(mesh, optimizer.init(variables["params"]))
+        rep = audit(chunk_fn, (v, o, batches, keys))
+        return rep, param_bytes(variables["params"])
+
+    rep2, pbytes = compile_summary(2)
+    rep4, _ = compile_summary(4)
+    assert rep2["collectives"] == rep4["collectives"], (rep2, rep4)
+    assert rep2["collectives"]["all-gather"]["bytes"] == 0, rep2
+    assert pbytes <= rep2["total_bytes"] <= 1.25 * pbytes, (rep2, pbytes)
+    assert rep2["total_count"] <= 6, rep2
