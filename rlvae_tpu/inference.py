@@ -141,13 +141,26 @@ class ModelManager:
         """Interpolate between two frames in latent space; decode the path.
 
         mode: 'linear' or 'spherical' (reference: model_manager.py sampling
-        modes incl. slerp)."""
+        modes incl. slerp), or 'geodesic' — a TRUE Riemannian geodesic under
+        the model's learned metric (energy-minimized discrete path,
+        rlvae_tpu/geometry/geodesics.py; beyond-reference — the reference's
+        'geodesic' paths are straight lines)."""
         mu1 = self.encode(jnp.asarray(x1, jnp.float32)[None]).embedding[0]
         mu2 = self.encode(jnp.asarray(x2, jnp.float32)[None]).embedding[0]
-        ts = jnp.linspace(0.0, 1.0, n_steps)[:, None]
-        if mode == "spherical":
-            zs = jax.vmap(lambda t: slerp(t, mu1, mu2))(ts[:, 0])
+        if mode == "geodesic":
+            metric = getattr(self.model, "metric", None)
+            if metric is None:
+                raise ValueError(
+                    "geodesic interpolation needs a model with a Riemannian metric"
+                )
+            from rlvae_tpu.geometry.geodesics import geodesic_interpolate
+
+            zs = geodesic_interpolate(metric, mu1, mu2, n_points=n_steps)
+        elif mode == "spherical":
+            ts = jnp.linspace(0.0, 1.0, n_steps)
+            zs = jax.vmap(lambda t: slerp(t, mu1, mu2))(ts)
         else:
+            ts = jnp.linspace(0.0, 1.0, n_steps)[:, None]
             zs = (1.0 - ts) * mu1[None] + ts * mu2[None]
         return self.decode(zs)
 

@@ -208,6 +208,28 @@ class InteractiveVisualizations(BaseVisualization):
             ax.plot(dense2[i, :, 0], dense2[i, :, 1], "-", lw=1.2, alpha=0.9)
             ax.plot(z2[i, :, 0], z2[i, :, 1], "o", ms=4, c="white", mec="k")
         ax.scatter(c2[:, 0], c2[:, 1], c="red", marker="x", s=14)
+        # TRUE geodesic (energy-minimized under G) between the first
+        # sequence's endpoints vs the straight line the reference draws
+        # (beyond-reference: rlvae_tpu/geometry/geodesics.py)
+        try:
+            from rlvae_tpu.geometry.geodesics import energy_path, path_length
+
+            za_, zb_ = jnp.asarray(flat[0]), jnp.asarray(
+                flat.reshape(z.shape[0], z.shape[1], -1)[0, -1]
+            )
+            geo = energy_path(metric, za_, zb_, n_points=16, n_iters=120)
+            lin = jnp.linspace(0.0, 1.0, 16)[:, None] * (zb_ - za_)[None] + za_[None]
+            geo2 = (np.asarray(geo) - origin) @ basis
+            lin2 = (np.asarray(lin) - origin) @ basis
+            l_g = float(path_length(metric, geo))
+            l_l = float(path_length(metric, lin))
+            ax.plot(lin2[:, 0], lin2[:, 1], ":", c="orange", lw=1.6,
+                    label=f"straight (L={l_l:.2f})")
+            ax.plot(geo2[:, 0], geo2[:, 1], "--", c="lime", lw=1.8,
+                    label=f"true geodesic (L={l_g:.2f})")
+            ax.legend(fontsize=7, loc="best")
+        except Exception:  # best-effort overlay, never break the suite
+            pass
         ax.set_title("Dense trajectories over $\\log\\sqrt{\\det G^{-1}}$")
 
         # eigenvalue-ellipse field: project G onto the PCA 2-plane at a
