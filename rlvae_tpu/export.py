@@ -42,7 +42,62 @@ __all__ = ["export_model", "ExportedModel", "load_exported"]
 _FORMAT_VERSION = 1
 
 
-def _op_table(manager, n_obs: int, generate_method: str, treedef):
+def _quant_plan(leaves, quantize: Optional[str]):
+    """Indices of leaves to quantize.  ``int8`` targets the Dense kernels:
+    2-D float leaves of at least 1024 elements (biases/scalars/buffers stay
+    exact — they are tiny and numerically load-bearing)."""
+    if quantize is None:
+        return []
+    if quantize != "int8":
+        raise ValueError(f"unknown quantization mode {quantize!r}; use 'int8'")
+    return [
+        i
+        for i, leaf in enumerate(leaves)
+        if np.issubdtype(leaf.dtype, np.floating)
+        and leaf.ndim == 2
+        and leaf.size >= 1024
+    ]
+
+
+def _pack_leaves(leaves, plan):
+    """Flattened weight list with quantized leaves replaced by
+    ``(int8 q, f32 per-output-column scale)`` pairs — symmetric weight-only
+    quantization, w ≈ q * scale[None, :]."""
+    packed = []
+    for i, leaf in enumerate(leaves):
+        if i in plan:
+            w = np.asarray(leaf, np.float32)
+            scale = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0
+            q = np.clip(np.round(w / scale[None, :]), -127, 127).astype(np.int8)
+            packed.append(q)
+            packed.append(scale.astype(np.float32))
+        else:
+            packed.append(np.asarray(leaf))
+    return packed
+
+
+def _make_unpack(plan, orig_dtypes):
+    """packed leaf list -> original leaf list (dequantizing in-program)."""
+    plan = set(plan)
+
+    def unpack(packed):
+        import jax.numpy as jnp
+
+        out, j = [], 0
+        for i, dtype in enumerate(orig_dtypes):
+            if i in plan:
+                q, scale = packed[j], packed[j + 1]
+                out.append((q.astype(jnp.float32) * scale[None, :]).astype(dtype))
+                j += 2
+            else:
+                out.append(packed[j])
+                j += 1
+        return out
+
+    return unpack
+
+
+def _op_table(manager, n_obs: int, generate_method: str, treedef, unpack):
     """(input-spec, fn) per op.  Every fn takes ``(leaves, batch)`` — the
     flattened variable leaves come in as program ARGUMENTS (stored once in
     weights.npz), not baked constants, so programs stay small and weights
@@ -56,7 +111,7 @@ def _op_table(manager, n_obs: int, generate_method: str, treedef):
     model = manager.model
 
     def unflatten(leaves):
-        return jax.tree_util.tree_unflatten(treedef, leaves)
+        return jax.tree_util.tree_unflatten(treedef, unpack(leaves))
 
     return {
         "reconstruct": (
@@ -91,6 +146,7 @@ def export_model(
     n_obs: int = 8,
     generate_method: str = "geodesic",
     platforms: Optional[Sequence[str]] = None,
+    quantize: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Export a trained :class:`~rlvae_tpu.inference.ModelManager`'s inference
     programs to ``out_dir``.  Returns the manifest.
@@ -98,6 +154,11 @@ def export_model(
     ``platforms`` follows ``jax.export`` semantics: None exports for the
     current backend; pass e.g. ``("cpu", "tpu")`` for a multi-platform
     artifact (one program runs on either).
+
+    ``quantize='int8'`` stores the Dense kernels as symmetric weight-only
+    int8 with per-output-column scales (dequantized in-program): ~4x
+    smaller ``weights.npz`` and weight HBM traffic, biases and buffers kept
+    exact.  The quality cost is gated in tests/test_export.py.
     """
     import jax
     from jax import export as jexport
@@ -106,11 +167,15 @@ def export_model(
     out.mkdir(parents=True, exist_ok=True)
     leaves, treedef = jax.tree_util.tree_flatten(manager.variables)
     leaves = [np.asarray(leaf) for leaf in leaves]
-    np.savez(out / "weights.npz", **{str(i): leaf for i, leaf in enumerate(leaves)})
-    leaf_templates = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
+    plan = _quant_plan(leaves, quantize)
+    packed = _pack_leaves(leaves, plan)
+    unpack = _make_unpack(plan, [l.dtype for l in leaves])
+    np.savez(out / "weights.npz", **{str(i): leaf for i, leaf in enumerate(packed)})
+    leaf_templates = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in packed]
 
     table = _op_table(
-        manager, n_obs=n_obs, generate_method=generate_method, treedef=treedef
+        manager, n_obs=n_obs, generate_method=generate_method, treedef=treedef,
+        unpack=unpack,
     )
     unknown = set(ops) - set(table)
     if unknown:
@@ -125,7 +190,12 @@ def export_model(
         "input_dim": [int(s) for s in manager.model.input_dim],
         "latent_dim": int(manager.model.latent_dim),
         "buckets": [int(b) for b in buckets],
-        "n_weight_leaves": len(leaves),
+        "n_weight_leaves": len(packed),
+        "quantization": (
+            {"mode": quantize, "leaf_indices": [int(i) for i in plan]}
+            if quantize
+            else None
+        ),
         "programs": {},
     }
     for op in ops:
@@ -198,20 +268,25 @@ class ExportedModel:
 
     def set_weights(self, variables) -> None:
         """Swap in a newer checkpoint's variables (same architecture) without
-        re-exporting any program — the weights are program arguments."""
+        re-exporting any program — the weights are program arguments.  For a
+        quantized bundle the new leaves are re-quantized under the exported
+        plan before staging."""
         import jax
 
-        leaves = jax.tree_util.tree_leaves(variables)
-        if len(leaves) != len(self._weights):
+        leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(variables)]
+        qinfo = self.manifest.get("quantization") or {}
+        packed = _pack_leaves(leaves, set(qinfo.get("leaf_indices", [])))
+        if len(packed) != len(self._weights):
             raise ValueError(
-                f"expected {len(self._weights)} weight leaves, got {len(leaves)}"
+                f"expected {len(self._weights)} packed weight leaves, "
+                f"got {len(packed)}"
             )
-        for new, old in zip(leaves, self._weights):
+        for new, old in zip(packed, self._weights):
             if np.shape(new) != np.shape(old):
                 raise ValueError(
                     f"weight leaf shape {np.shape(new)} != exported {np.shape(old)}"
                 )
-        self._weights = [jax.device_put(np.asarray(l)) for l in leaves]
+        self._weights = [jax.device_put(l) for l in packed]
 
     def as_ops(self, ops: Optional[Sequence[str]] = None) -> Dict[str, Callable]:
         """Op table for :class:`~rlvae_tpu.serving.BatchingEngine`: serve an

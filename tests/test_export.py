@@ -181,3 +181,36 @@ def test_bundle_server_serves_over_http(manager, tmp_path):
     finally:
         httpd.shutdown()
         engine.stop()
+
+
+def test_int8_weight_only_quantized_export(manager, tmp_path):
+    """quantize='int8' stores Dense kernels as int8+scales (smaller bundle),
+    dequantizes in-program, re-quantizes on weight swap, and stays within a
+    tight quality gate of the fp32 outputs."""
+    out_f = tmp_path / "f32"
+    out_q = tmp_path / "int8"
+    export_model(manager, out_f, ops=("decode",), buckets=(4,), n_obs=4)
+    m = export_model(
+        manager, out_q, ops=("decode",), buckets=(4,), n_obs=4, quantize="int8"
+    )
+    assert m["quantization"]["mode"] == "int8"
+    assert len(m["quantization"]["leaf_indices"]) >= 2  # the Dense kernels
+    size_f = (out_f / "weights.npz").stat().st_size
+    size_q = (out_q / "weights.npz").stat().st_size
+    assert size_q < size_f, (size_q, size_f)
+
+    loaded = load_exported(out_q)
+    z = np.random.default_rng(3).normal(size=(4, 4)).astype(np.float32)
+    got = loaded.run("decode", z)
+    ref = manager.decode(z)
+    # weight-only int8 on sigmoid outputs in [0, 1]
+    assert np.max(np.abs(got - ref)) < 0.05, np.max(np.abs(got - ref))
+    assert np.mean(np.abs(got - ref)) < 0.01
+
+    # weight swap re-quantizes under the exported plan
+    loaded.set_weights(manager.variables)
+    np.testing.assert_allclose(loaded.run("decode", z), got, rtol=1e-6, atol=1e-6)
+
+    with pytest.raises(ValueError, match="unknown quantization mode"):
+        export_model(manager, tmp_path / "bad", ops=("decode",), buckets=(4,),
+                     n_obs=4, quantize="int4")
