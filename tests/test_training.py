@@ -226,7 +226,16 @@ def test_trainer_epoch_jit_multidevice(tmp_path):
     assert n == expected_steps, (n, expected_steps, n_rows)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
+    """The driver-contract dryrun end to end (~10 min of XLA compiles on the
+    1-core host — slow tier; `make dryrun` runs the same function, and each
+    path it integrates has a dedicated quick test: DP step
+    (test_data_parallel_step_8_devices), sharded epoch-jit
+    (test_trainer_epoch_jit_multidevice), DPxTP
+    (test_dp_tp_hybrid_loss_and_grad_parity), DPxEP chain
+    (tests/test_metric_parallel.py), chunked epochs
+    (test_sharded_chunked_matches_resident_epoch)."""
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
