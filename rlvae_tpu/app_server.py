@@ -311,9 +311,14 @@ document.getElementById('go').onclick = () => {
 API('/api/runs').then(runs => {
   const opts = runs.filter(r => r.has_checkpoint).map(r => `<option>${r.name}</option>`).join('');
   app.innerHTML = `<h2>Model inference</h2><select id="run">${opts}</select>
-  <button id="rec">Reconstruct</button> <button id="gen">Generate</button><div id="out"></div>`;
+  <button id="rec">Reconstruct</button> <button id="gen">Generate</button>
+  <select id="imode"><option value="linear">linear</option>
+  <option value="spherical">spherical</option>
+  <option value="geodesic">true geodesic</option></select>
+  <button id="interp">Interpolate</button><div id="out"></div>`;
   const show = d => {
-    document.getElementById('out').innerHTML = d.rows.map(row =>
+    document.getElementById('out').innerHTML = (d.error ? `<p>${d.error}</p>` : '') +
+      (d.rows || []).map(row =>
       '<div>' + row.map(b => `<img class="frame" src="data:image/png;base64,${b}">`).join('') + '</div>'
     ).join('');
   };
@@ -321,6 +326,9 @@ API('/api/runs').then(runs => {
     API('/api/model/' + document.getElementById('run').value + '/reconstruct').then(show);
   document.getElementById('gen').onclick = () =>
     API('/api/model/' + document.getElementById('run').value + '/generate').then(show);
+  document.getElementById('interp').onclick = () =>
+    API('/api/model/' + document.getElementById('run').value + '/interpolate?mode=' +
+        document.getElementById('imode').value).then(show);
 });
 """,
     "latent_exploration": """
@@ -479,12 +487,14 @@ def make_handler(state: AppState):
                                       ("reconstruct", "encode", "decode", "generate"))),
                             buckets=tuple(int(b) for b in payload.get("buckets", (1, 8))),
                             n_obs=n_obs,
+                            quantize=payload.get("quantize"),
                         )
                     return self._json({
                         "out_dir": str(out_dir),
                         "ops": sorted(manifest["programs"]),
                         "buckets": manifest["buckets"],
                         "platforms": manifest["platforms"],
+                        "quantization": manifest["quantization"],
                     })
                 return self._json({"error": "not found"}, 404)
             except Exception as e:
@@ -514,6 +524,17 @@ def make_handler(state: AppState):
                     for i in range(gen.shape[0])
                 ]
                 return self._json({"rows": rows})
+            if action == "interpolate":
+                # latent interpolation between two validation frames
+                # (reference inference page: linear/spherical; 'geodesic'
+                # decodes along a TRUE Riemannian geodesic of the learned
+                # metric — rlvae_tpu/geometry/geodesics.py)
+                mode = q.get("mode", ["linear"])[0]
+                steps = max(2, min(int(q.get("steps", ["8"])[0]), 32))
+                x = state.sample_batch(run_name, 2)
+                frames = mm.interpolate(x[0, 0], x[1, 0], n_steps=steps, mode=mode)
+                row = [_png_b64(frames[i]) for i in range(frames.shape[0])]
+                return self._json({"rows": [row], "mode": mode, "steps": steps})
             if action == "latents":
                 x = state.sample_batch(run_name, 6)
                 z = mm.embed_sequence(x, seed=seed)  # [B, T, D]

@@ -37,6 +37,9 @@ def main(argv=None):
                          "(default: current backend)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend in this process")
+    ap.add_argument("--quantize", default=None, choices=["int8"],
+                    help="weight-only quantization of the Dense kernels "
+                         "(~4x smaller weights.npz, dequantized in-program)")
     args = ap.parse_args(argv)
 
     import jax
@@ -51,6 +54,7 @@ def main(argv=None):
     manifest = export_model(
         mgr, args.out, ops=tuple(args.ops), buckets=tuple(args.buckets),
         n_obs=args.n_obs, generate_method=args.method, platforms=args.platforms,
+        quantize=args.quantize,
     )
     progs = sum(
         (Path(args.out) / spec["file"]).stat().st_size

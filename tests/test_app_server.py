@@ -200,3 +200,22 @@ def test_generate_accepts_negative_seed(server):
     run_name = next(r["name"] for r in runs if r["has_checkpoint"])
     gen = _get_json(port, f"/api/model/{run_name}/generate?n=2&seed=-1")
     assert len(gen["rows"]) == 2
+
+
+def test_interpolate_endpoint_modes(server):
+    """GET /api/model/<run>/interpolate decodes a latent path; the vanilla
+    training run has no metric, so 'geodesic' degrades to a clean JSON
+    error while linear/spherical serve frames."""
+    port, _ = server
+    runs = _get_json(port, "/api/runs")
+    run_name = next(r["name"] for r in runs if r["has_checkpoint"])
+    for mode in ("linear", "spherical"):
+        out = _get_json(port, f"/api/model/{run_name}/interpolate?mode={mode}&steps=5")
+        assert out["mode"] == mode and out["steps"] == 5
+        assert len(out["rows"]) == 1 and len(out["rows"][0]) == 5
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(port, f"/api/model/{run_name}/interpolate?mode=geodesic")
+    err = json.loads(exc.value.read())
+    assert "metric" in err["error"]
