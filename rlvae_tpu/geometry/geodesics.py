@@ -145,29 +145,50 @@ def log_map(
     n_steps: int = 16,
     n_iters: int = 12,
     damping: float = 1e-3,
+    init: str = "energy",
 ) -> Array:
     """Riemannian logarithm: the initial velocity v with
     ``exp_map(z0, v) = z1``, by damped Gauss-Newton shooting (fixed
     ``n_iters``; each iteration differentiates the integrator with
-    ``jacfwd``, cheap at D=16).  Batched [B, D] inputs are vmapped."""
+    ``jacfwd``, cheap at D=16).  Batched [B, D] inputs are vmapped.
+
+    Shooting is a local method — ``init`` controls where it starts:
+    ``"energy"`` (default) seeds the velocity from a discrete energy-
+    minimized path's initial tangent, which keeps distant endpoint pairs
+    in the convergence basin under strongly curved metrics; ``"linear"``
+    is the flat-space displacement z1 - z0.  Between Gauss-Newton steps
+    the candidate is kept only when it reduces the shooting residual, so
+    a diverging step can never make the returned velocity worse than its
+    init."""
     z0 = jnp.asarray(z0, jnp.float32)
     z1 = jnp.asarray(z1, jnp.float32)
     if z0.ndim == 2:
-        f = lambda a, b: log_map(metric, a, b, n_steps, n_iters, damping)
+        f = lambda a, b: log_map(metric, a, b, n_steps, n_iters, damping, init)
         return jax.vmap(f)(z0, z1)
 
     d = z0.shape[-1]
     shoot = lambda v: exp_map(metric, z0, v, n_steps=n_steps)
 
-    def gn_step(v, _):
+    def gn_step(carry, _):
+        v, err = carry
         resid = shoot(v) - z1
         jac = jax.jacfwd(shoot)(v)  # [D, D]
         a = jac.T @ jac + damping * jnp.eye(d, dtype=jnp.float32)
         dv = jnp.linalg.solve(a, jac.T @ resid)
-        return v - dv, jnp.sum(resid**2)
+        v_new = v - dv
+        err_new = jnp.sum((shoot(v_new) - z1) ** 2)
+        better = err_new < err
+        return (jnp.where(better, v_new, v), jnp.where(better, err_new, err)), None
 
-    v0 = z1 - z0  # exact for a flat metric, good init otherwise
-    v, _ = jax.lax.scan(gn_step, v0, None, length=n_iters)
+    if init == "energy":
+        # the discrete geodesic's first segment, scaled to unit-time speed
+        path = energy_path(metric, z0, z1, n_points=n_steps + 1, n_iters=120)
+        v0 = (path[1] - path[0]) * jnp.float32(n_steps)
+    else:
+        v0 = z1 - z0  # exact for a flat metric
+    (v, _), _ = jax.lax.scan(
+        gn_step, (v0, jnp.sum((shoot(v0) - z1) ** 2)), None, length=n_iters
+    )
     return v
 
 

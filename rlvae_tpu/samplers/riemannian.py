@@ -38,7 +38,9 @@ Array = jax.Array
 POSTERIOR_METHODS = (
     "standard", "basic", "enhanced", "geodesic", "official", "hmc"
 )
-PRIOR_METHODS = ("geodesic", "centroid_aware", "weighted_mixture", "basic")
+PRIOR_METHODS = (
+    "geodesic", "geodesic_exact", "centroid_aware", "weighted_mixture", "basic"
+)
 
 
 def _sym_sqrt(mat: Array, clamp: float = 1e-8) -> Array:
@@ -190,6 +192,8 @@ def sample_prior(
         return jax.random.normal(key, (num_samples, latent_dim))
     if method == "geodesic":
         return _prior_geodesic(metric, key, num_samples)
+    if method == "geodesic_exact":
+        return _prior_geodesic_exact(metric, key, num_samples)
     if method == "centroid_aware":
         return _prior_centroid_aware(metric, key, num_samples)
     if method == "weighted_mixture":
@@ -211,6 +215,37 @@ def _prior_geodesic(metric, key, n):
     direction = direction / (jnp.linalg.norm(direction, axis=-1, keepdims=True) + 1e-8)
     eps = jax.random.normal(k4, (n, metric.latent_dim))
     parallel = jnp.sum(eps * direction, axis=-1, keepdims=True) * direction
+    perp = eps - parallel
+    sqrt_gi = _sym_sqrt(gm.g_inv(metric, z_path))
+    eps_metric = jnp.einsum("bij,bj->bi", sqrt_gi, perp)
+    return z_path + 0.2 * eps_metric
+
+
+def _prior_geodesic_exact(metric, key, n, n_points=12, n_iters=80):
+    """The 'geodesic' prior with the interpolation point taken on the TRUE
+    energy-minimized geodesic between the centroid pair instead of the
+    straight line (beyond-reference upgrade; the noise recipe — metric
+    noise perpendicular to the local path tangent at scale 0.2 — matches
+    the reference's geodesic prior, riemannian_flow_vae.py:270-318)."""
+    from rlvae_tpu.geometry.geodesics import energy_path
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    kc = metric.n_centroids
+    i1 = jax.random.randint(k1, (n,), 0, kc)
+    i2 = jax.random.randint(k2, (n,), 0, kc)
+    start, end = metric.centroids[i1], metric.centroids[i2]
+    paths = energy_path(metric, start, end, n_points=n_points, n_iters=n_iters)
+    # continuous parameter t -> linear blend inside the discrete segment
+    s = jax.random.uniform(k3, (n,)) * (n_points - 1)
+    lo = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, n_points - 2)
+    frac = (s - lo)[:, None]
+    rows = jnp.arange(n)
+    z_lo, z_hi = paths[rows, lo], paths[rows, lo + 1]
+    z_path = (1.0 - frac) * z_lo + frac * z_hi
+    tangent = z_hi - z_lo
+    tangent = tangent / (jnp.linalg.norm(tangent, axis=-1, keepdims=True) + 1e-8)
+    eps = jax.random.normal(k4, (n, metric.latent_dim))
+    parallel = jnp.sum(eps * tangent, axis=-1, keepdims=True) * tangent
     perp = eps - parallel
     sqrt_gi = _sym_sqrt(gm.g_inv(metric, z_path))
     eps_metric = jnp.einsum("bij,bj->bi", sqrt_gi, perp)

@@ -70,12 +70,27 @@ def test_metric_aware_posterior_covariance(metric):
 
 
 def test_prior_methods(metric):
-    for method in ("geodesic", "centroid_aware", "weighted_mixture", "basic"):
+    for method in ("geodesic", "geodesic_exact", "centroid_aware",
+                   "weighted_mixture", "basic"):
         z = sample_prior(metric, jax.random.PRNGKey(3), 32, metric.latent_dim, method)
         assert z.shape == (32, 16)
         assert np.isfinite(np.asarray(z)).all(), method
     z = sample_prior(None, jax.random.PRNGKey(3), 32, 16, "geodesic")
     assert z.shape == (32, 16)
+
+
+def test_prior_geodesic_exact_rides_true_paths(metric):
+    """geodesic_exact draws from TRUE energy-minimized geodesics: with the
+    same key its base points differ from the linear-interpolation method's
+    wherever the metric bends paths, while both stay on the same centroid
+    pairs (identical index/noise key derivation)."""
+    key = jax.random.PRNGKey(7)
+    z_lin = sample_prior(metric, key, 64, metric.latent_dim, "geodesic")
+    z_exact = sample_prior(metric, key, 64, metric.latent_dim, "geodesic_exact")
+    assert np.isfinite(np.asarray(z_exact)).all()
+    # same pair/noise keys, different path geometry -> samples must differ
+    # (under the real pretrained metric the paths are genuinely curved)
+    assert float(jnp.max(jnp.abs(z_exact - z_lin))) > 1e-3
 
 
 def test_tempering_schedule():
