@@ -86,6 +86,81 @@ def iaf_forward(
     return x, logdet
 
 
+def _block_forward_fixedpoint(
+    params: Dict[str, jax.Array],
+    masks: Sequence[jax.Array],
+    x: jax.Array,
+    h: Optional[jax.Array],
+    n_iters: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """One MADE block in the density direction by Jacobi fixed-point
+    iteration instead of the D-step sequential scan.
+
+    The density pass solves the strictly triangular system
+    ``y = (x - mu(y)) * exp(-s(y))`` (MADE's output i depends only on
+    ``y_{<i}``).  The Jacobi map ``y <- (x - mu(y)) * exp(-s(y))`` makes
+    dim i EXACT after i+1 iterations — ``n_iters >= D`` reproduces the
+    sequential algorithm bit-for-bit — and converges geometrically in far
+    fewer passes when the flow contracts.  Each iteration is ONE full MADE
+    pass, the same cost as one sequential dim-step, so the pass count
+    drops from D to n_iters + 1 (a final pass evaluates (mu, s) at the
+    converged y so the output and log|det J| are self-consistent, exactly
+    as the sequential algorithm's per-dim terms are)."""
+
+    def step(y, _):
+        mu, s = made_apply(params, masks, y, h)
+        return (x - mu) * jnp.exp(-s), None
+
+    y, _ = jax.lax.scan(step, jnp.zeros_like(x), None, length=n_iters)
+    mu, s = made_apply(params, masks, y, h)
+    y = (x - mu) * jnp.exp(-s)
+    return y, -jnp.sum(s, axis=-1)
+
+
+def iaf_forward_fixedpoint(
+    params: List[Dict[str, jax.Array]],
+    masks: Sequence[jax.Array],
+    x: jax.Array,
+    h: Optional[jax.Array] = None,
+    n_iters: int = 8,
+) -> Tuple[jax.Array, jax.Array]:
+    """Density direction via Jacobi fixed-point blocks (see
+    :func:`_block_forward_fixedpoint`); exact when ``n_iters >= input_dim``."""
+    logdet = jnp.zeros(x.shape[0], x.dtype)
+    for block in params:
+        x, ld = _block_forward_fixedpoint(block, masks, x, h, n_iters)
+        logdet = logdet + ld
+        x = jnp.flip(x, axis=1)
+    return x, logdet
+
+
+def fixedpoint_error(
+    params: List[Dict[str, jax.Array]],
+    masks: Sequence[jax.Array],
+    x: jax.Array,
+    n_iters: int,
+    h: Optional[jax.Array] = None,
+) -> Tuple[float, float]:
+    """Validate a fixed-point iteration count against the exact scan.
+
+    Convergence at ``n_iters < D - 1`` is weight-dependent (the Jacobi map
+    only contracts when the trained coupling does), so before lowering
+    ``fixedpoint_iters`` on a trained model, probe it here with
+    representative inputs.  Returns ``(max_rel_y, max_abs_logdet)``: the
+    max elementwise relative deviation of the transformed latents (relative
+    to ``max(|y_exact|, 1)``) and the max absolute log-det deviation, both
+    as Python floats.  Bit-exact configurations return ``(0.0, 0.0)``.
+    """
+    y_ref, ld_ref = iaf_forward(params, masks, x, h)
+    y_fp, ld_fp = iaf_forward_fixedpoint(params, masks, x, h, n_iters=n_iters)
+    got = jax.device_get({"y": (y_fp, y_ref), "ld": (ld_fp, ld_ref)})
+    (y_fp, y_ref), (ld_fp, ld_ref) = got["y"], got["ld"]
+    import numpy as np
+
+    rel = np.abs(y_fp - y_ref) / np.maximum(np.abs(y_ref), 1.0)
+    return float(rel.max()), float(np.abs(ld_fp - ld_ref).max())
+
+
 def iaf_inverse(
     params: List[Dict[str, jax.Array]],
     masks: Sequence[jax.Array],

@@ -18,7 +18,13 @@ from typing import Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 
-from rlvae_tpu.flows.iaf import iaf_forward, iaf_inverse, iaf_masks, init_iaf
+from rlvae_tpu.flows.iaf import (
+    iaf_forward,
+    iaf_forward_fixedpoint,
+    iaf_inverse,
+    iaf_masks,
+    init_iaf,
+)
 
 
 class TemporalFlowConfig:
@@ -47,11 +53,14 @@ class TemporalFlowConfig:
         direction: str = "density",
         backend: str = "auto",
         log_var_bias_init: float = -2.0,
+        fixedpoint_iters: int = 0,
     ):
         if direction not in ("density", "sampling"):
             raise ValueError("direction must be 'density' or 'sampling'")
         if backend not in ("auto", "pallas", "xla"):
             raise ValueError("backend must be 'auto', 'pallas' or 'xla'")
+        if fixedpoint_iters < 0:
+            raise ValueError("fixedpoint_iters must be >= 0")
         self.latent_dim = latent_dim
         self.n_flows = n_flows
         self.hidden_size = hidden_size
@@ -62,6 +71,10 @@ class TemporalFlowConfig:
         # -2.0 = reference parity (made_model.py:79-81); 0.0 = near-identity
         # init whose density pass doesn't amplify exp(1.5)/block at epoch 0
         self.log_var_bias_init = float(log_var_bias_init)
+        # K > 0: Jacobi fixed-point density blocks (K+1 MADE passes instead
+        # of D; bit-exact at K >= D-1, measured exact at K=8 for D=16 —
+        # see ops/iaf_kernels.py).  0 = the exact sequential dim scan.
+        self.fixedpoint_iters = int(fixedpoint_iters)
         self.masks = iaf_masks(latent_dim, hidden_size, n_hidden) if n_flows > 0 else []
 
     def _use_fused(self) -> bool:
@@ -117,7 +130,7 @@ def apply_temporal_flows(
             # entries get their cotangents summed by the stacking AD
             chain = get_fused_iaf_chain(
                 config.latent_dim, config.hidden_size, config.n_blocks,
-                config.n_hidden, nt,
+                config.n_hidden, nt, fp_iters=config.fixedpoint_iters,
             )
             params_chain = [flows[min(t, len(flows) - 1)] for t in range(nt)]
             z_rest, lds = chain(params_chain, z0)  # [NT, B, D], [NT, B]
@@ -128,9 +141,15 @@ def apply_temporal_flows(
         # one fused Pallas program per transition (custom VJP; see
         # rlvae_tpu/ops/iaf_kernels.py) instead of D sequential MADE passes
         fused = get_fused_iaf(
-            config.latent_dim, config.hidden_size, config.n_blocks, config.n_hidden
+            config.latent_dim, config.hidden_size, config.n_blocks,
+            config.n_hidden, fp_iters=config.fixedpoint_iters,
         )
         step_fn = lambda flow, masks, z: fused(flow, z)
+    elif config.direction == "density" and config.fixedpoint_iters > 0:
+        k = config.fixedpoint_iters
+        step_fn = lambda flow, masks, z: iaf_forward_fixedpoint(
+            flow, masks, z, n_iters=k
+        )
     else:
         step_fn = iaf_forward if config.direction == "density" else iaf_inverse
     zs = [z0]

@@ -67,6 +67,7 @@ class RlVAE:
         loop_penalty: float = 5.0,
         flow_direction: str = "density",
         flow_log_var_bias_init: float = -2.0,
+        flow_fixedpoint_iters: int = 0,
         encoder_config: Optional[Mapping[str, Any]] = None,
         decoder_config: Optional[Mapping[str, Any]] = None,
         metric: Optional[CentroidMetric] = None,
@@ -96,6 +97,7 @@ class RlVAE:
             latent_dim, n_flows, flow_hidden_size, flow_n_blocks, flow_n_hidden,
             direction=flow_direction,
             log_var_bias_init=flow_log_var_bias_init,
+            fixedpoint_iters=flow_fixedpoint_iters,
         )
         self.metric = metric
         # applied by init() so every entry path (CLI, app, tests) starts from

@@ -122,22 +122,48 @@ def _rev_matrix(d: int):
 # per-tile weight-grad partials summed by XLA afterwards.
 
 
-def _transition_fwd_body(x, blocks, col, rev, d: int, tb: int):
-    """One full IAF transition on arrays: returns (ys per block, y_final, ld)."""
+def _transition_fwd_body(x, blocks, col, rev, d: int, tb: int, fp_iters: int = 0):
+    """One full IAF transition on arrays: returns (ys per block, y_final, ld).
+
+    ``fp_iters == 0`` (default) is the exact D-step sequential update.
+    ``fp_iters = K > 0`` solves each block's strictly triangular system
+    ``y = (x - mu(y)) * exp(-s(y))`` by Jacobi fixed-point iteration
+    instead: K full MADE passes (dim i is EXACT after i+1 iterations, so
+    ``K >= D - 1`` is bit-exact) plus one final pass that evaluates
+    (mu, s) at the converged y — the same self-consistent terms the
+    sequential algorithm produces — cutting the block's pass count from
+    D to K + 1.  Matches :func:`rlvae_tpu.flows.iaf.iaf_forward_fixedpoint`.
+    """
     ld = jnp.zeros((tb, 1), jnp.float32)
     ys = []
     for w0, b0, whs, bhs, wo, bo in blocks:
-        def step(i, carry):
-            y, ld = carry
+        if fp_iters > 0:
+            def fp_step(i, y):
+                mu, s_pre, _ = _made_pass(y, w0, b0, whs, bhs, wo, bo, d)
+                s = jnp.clip(s_pre, -LOG_VAR_CLAMP, LOG_VAR_CLAMP)
+                return (x - mu) * jnp.exp(-s)
+
+            y = jax.lax.fori_loop(
+                0, fp_iters, fp_step, jnp.zeros((tb, d), jnp.float32)
+            )
             mu, s_pre, _ = _made_pass(y, w0, b0, whs, bhs, wo, bo, d)
             s = jnp.clip(s_pre, -LOG_VAR_CLAMP, LOG_VAR_CLAMP)
-            y_cand = (x - mu) * jnp.exp(-s)
-            sel = col == i
-            y = jnp.where(sel, y_cand, y)
-            ld = ld - jnp.sum(jnp.where(sel, s, 0.0), axis=1, keepdims=True)
-            return y, ld
+            y = (x - mu) * jnp.exp(-s)
+            ld = ld - jnp.sum(s, axis=1, keepdims=True)
+        else:
+            def step(i, carry):
+                y, ld = carry
+                mu, s_pre, _ = _made_pass(y, w0, b0, whs, bhs, wo, bo, d)
+                s = jnp.clip(s_pre, -LOG_VAR_CLAMP, LOG_VAR_CLAMP)
+                y_cand = (x - mu) * jnp.exp(-s)
+                sel = col == i
+                y = jnp.where(sel, y_cand, y)
+                ld = ld - jnp.sum(jnp.where(sel, s, 0.0), axis=1, keepdims=True)
+                return y, ld
 
-        y, ld = jax.lax.fori_loop(0, d, step, (jnp.zeros((tb, d), jnp.float32), ld))
+            y, ld = jax.lax.fori_loop(
+                0, d, step, (jnp.zeros((tb, d), jnp.float32), ld)
+            )
         ys.append(y)
         x = _dot(y, rev)
     return ys, x, ld
@@ -203,6 +229,78 @@ def _transition_bwd_body(x_in, ys, dy, dld, blocks, col, rev, d: int, tb: int):
     return dy, d_blocks
 
 
+def _transition_bwd_adjoint_body(ys, dy, dld, blocks, rev, d: int, tb: int, n_sweeps: int):
+    """Adjoint fixed-point VJP of one transition: returns (dx, per-block grads).
+
+    Replaces :func:`_transition_bwd_body`'s D per-dim reverse steps (each a
+    full MADE recompute + input VJP + weight-grad outer products) with the
+    implicit-function adjoint solve.  Two structural facts make it exact:
+
+    1. MADE's masks route output i only through hidden units of degree < i,
+       whose activations depend only on inputs < i — so ONE forward pass at
+       the block's full converged output y produces activations (and ReLU /
+       clamp gates) identical, along every path that carries gradient, to
+       the per-dim masked recomputes.  (Entries of the weight-grad outer
+       products that differ correspond to masked weights and are zeroed by
+       the mask multiply outside the kernel.)
+    2. The block output solves y = F(x, y), F = (x − mu(y))·exp(−s(y)), so
+       the output cotangent satisfies the affine fixed point
+       λ = ĝ + (∂F/∂y)ᵀ λ  — and (∂F/∂y)ᵀ is strictly triangular
+       (nilpotent index ≤ D), so ``n_sweeps >= D`` Jacobi sweeps solve it
+       EXACTLY.  Each sweep is one input-only VJP (no weight grads); the
+       weight gradients then come from a single full VJP at the converged
+       adjoint, since Σ_i (per-dim cotangent backprops) with shared gates
+       collapses into one backprop of the summed cotangent.
+
+    Cost per block: 1 MADE pass + n_sweeps light VJPs + 1 grad VJP, vs the
+    sequential body's D × (pass + VJP + outer products).  ``n_sweeps < D``
+    gives the same weight-dependent approximation as the forward's
+    ``fp_iters`` (validate with flows.iaf.fixedpoint_error)."""
+    n_blocks = len(blocks)
+    dy = _dot(dy, rev)  # adjoint of the final flip
+    d_blocks = [None] * n_blocks
+    for b in range(n_blocks - 1, -1, -1):
+        w0, b0, whs, bhs, wo, bo = blocks[b]
+        y_out = ys[b]
+        _, s_pre, acts = _made_pass(y_out, w0, b0, whs, bhs, wo, bo, d)
+        s = jnp.clip(s_pre, -LOG_VAR_CLAMP, LOG_VAR_CLAMP)
+        e = jnp.exp(-s)
+        gate_s = jnp.where(jnp.abs(s_pre) < LOG_VAR_CLAMP, 1.0, 0.0)
+        gates = [jnp.where(acts[li + 1] > 0.0, 1.0, 0.0) for li in range(len(whs))]
+
+        def dout_of(lam):
+            return jnp.concatenate(
+                [-lam * e, gate_s * (-lam * y_out - dld)], axis=1
+            )
+
+        def sweep(_, lam):
+            da = _dot_nt(dout_of(lam), wo)
+            for li in range(len(whs) - 1, -1, -1):
+                da = _dot_nt(gates[li] * da, whs[li])
+            return dy + _dot_nt(da, w0)
+
+        lam = jax.lax.fori_loop(0, n_sweeps, sweep, dy)
+
+        # one full VJP (with weight grads) at the converged adjoint
+        dout = dout_of(lam)
+        da = _dot_nt(dout, wo)
+        dwo = _dot_tn(acts[-1], dout)
+        dbo = jnp.sum(dout, axis=0, keepdims=True)
+        dwh = [None] * len(whs)
+        dbh = [None] * len(whs)
+        for li in range(len(whs) - 1, -1, -1):
+            g = gates[li] * da
+            dwh[li] = _dot_tn(acts[li], g)
+            dbh[li] = jnp.sum(g, axis=0, keepdims=True)
+            da = _dot_nt(g, whs[li])
+        dw0 = _dot_tn(y_out, da)
+        db0 = jnp.sum(da, axis=0, keepdims=True)
+        dx = lam * e
+        d_blocks[b] = (dw0, db0, tuple(dwh), tuple(dbh), dwo, dbo)
+        dy = _dot(dx, rev) if b > 0 else dx
+    return dy, d_blocks
+
+
 def _load_blocks(w0_ref, b0_ref, wh_ref, bh_ref, wo_ref, bo_ref, nb: int, nh: int):
     """Load one transition's (leading-1-indexed) weight blocks as arrays."""
     return [
@@ -222,7 +320,7 @@ def _iaf_chain_fwd_kernel(
     x_ref, w0_ref, b0_ref, wh_ref, bh_ref, wo_ref, bo_ref,
     z_ref, ld_ref, ys_ref,
     zc_ref,  # scratch: the latent carried across transitions
-    *, d: int, n_blocks: int, n_hidden: int, tb: int,
+    *, d: int, n_blocks: int, n_hidden: int, tb: int, fp_iters: int = 0,
 ):
     """Grid (batch_tiles, transitions), transitions innermost: each tile's
     chain runs t=0..NT-1 consecutively with the latent carried in scratch;
@@ -235,7 +333,9 @@ def _iaf_chain_fwd_kernel(
         zc_ref[...] = x_ref[...]
 
     blocks = _load_blocks(w0_ref, b0_ref, wh_ref, bh_ref, wo_ref, bo_ref, n_blocks, n_hidden)
-    ys, y_final, ld = _transition_fwd_body(zc_ref[...], blocks, col, rev, d, tb)
+    ys, y_final, ld = _transition_fwd_body(
+        zc_ref[...], blocks, col, rev, d, tb, fp_iters
+    )
     for b in range(n_blocks):
         ys_ref[0, b] = ys[b]
     z_ref[0] = y_final
@@ -248,6 +348,7 @@ def _iaf_chain_bwd_kernel(
     w0_ref, b0_ref, wh_ref, bh_ref, wo_ref, bo_ref,
     dx_ref, dw0_ref, db0_ref, dwh_ref, dbh_ref, dwo_ref, dbo_ref,
     *, d: int, n_blocks: int, n_hidden: int, tb: int, nt: int,
+    adj_sweeps: int = 0,
 ):
     """Grid (batch_tiles, transitions), transitions innermost and REVERSED
     via the index maps (grid step t handles transition nt-1-t).  ``dx_ref``
@@ -271,7 +372,12 @@ def _iaf_chain_bwd_kernel(
 
     blocks = _load_blocks(w0_ref, b0_ref, wh_ref, bh_ref, wo_ref, bo_ref, n_blocks, n_hidden)
     ys = [ys_ref[0, b] for b in range(n_blocks)]
-    dx, d_blocks = _transition_bwd_body(x_in, ys, dy, dld, blocks, col, rev, d, tb)
+    if adj_sweeps > 0:
+        dx, d_blocks = _transition_bwd_adjoint_body(
+            ys, dy, dld, blocks, rev, d, tb, adj_sweeps
+        )
+    else:
+        dx, d_blocks = _transition_bwd_body(x_in, ys, dy, dld, blocks, col, rev, d, tb)
 
     dx_ref[...] = dx
     for b in range(n_blocks):
@@ -320,7 +426,8 @@ def _tile(b: int) -> Tuple[int, int]:
 @functools.lru_cache(maxsize=None)
 def get_fused_iaf(
     input_dim: int, hidden_size: int, n_blocks: int, n_hidden: int,
-    interpret: bool | None = None,
+    interpret: bool | None = None, fp_iters: int = 0,
+    adj_sweeps: int | None = None,
 ):
     """Build (and cache) the fused custom-VJP IAF forward for a static shape.
 
@@ -329,7 +436,8 @@ def get_fused_iaf(
     One IAF is the chain kernel with a single transition — there is only one
     kernel pair to maintain (see the whole-chain section below)."""
     chain = get_fused_iaf_chain(
-        input_dim, hidden_size, n_blocks, n_hidden, 1, interpret
+        input_dim, hidden_size, n_blocks, n_hidden, 1, interpret, fp_iters,
+        adj_sweeps,
     )
 
     def fused(params, x):
@@ -354,7 +462,8 @@ CHAIN_MAX_BATCH = 1 << 30
 @functools.lru_cache(maxsize=None)
 def get_fused_iaf_chain(
     input_dim: int, hidden_size: int, n_blocks: int, n_hidden: int,
-    n_transitions: int, interpret: bool | None = None,
+    n_transitions: int, interpret: bool | None = None, fp_iters: int = 0,
+    adj_sweeps: int | None = None,
 ):
     """Build (and cache) the whole-chain fused IAF: ONE Pallas program for
     all ``n_transitions`` temporal transitions (2 launches per train step
@@ -365,8 +474,29 @@ def get_fused_iaf_chain(
     per-transition IAF param lists (repeated entries — the temporal chain's
     last-flow reuse — get their gradients summed by the stacking AD outside).
     Matches chaining :func:`rlvae_tpu.flows.iaf.iaf_forward` per transition.
+
+    ``fp_iters = K > 0`` switches each block to the Jacobi fixed-point
+    solver (see :func:`_transition_fwd_body`): K + 1 MADE passes per block
+    instead of D, bit-exact for K >= D - 1 (dim i of the iterate is exact
+    after i+1 sweeps) and converged well below that when the coupling
+    contracts.  Convergence at K < D-1 is WEIGHT-dependent: measured
+    bit-exact at K=8 (D=16) for weights up to ~2x torch-Linear init scale
+    at any input scale (incl. 1e10), but NOT for >=4x-scale weights —
+    validate trained weights with
+    :func:`rlvae_tpu.flows.iaf.fixedpoint_error` before lowering K.
+
+    ``adj_sweeps`` selects the backward: ``None`` (auto) resolves to the
+    adjoint fixed-point VJP (:func:`_transition_bwd_adjoint_body`) with
+    D sweeps — EXACT, the nilpotent adjoint system terminates — when
+    ``fp_iters == 0``, or ``fp_iters + 1`` sweeps otherwise; an explicit
+    sweep count overrides; ``0`` forces the legacy per-dim sequential
+    backward (:func:`_transition_bwd_body`).  Both backwards evaluate the
+    implicit (exact-solution) VJP at the forward's converged y — their
+    only residuals are each block's final output.
     """
     d, h, nb, nh, nt = input_dim, hidden_size, n_blocks, n_hidden, n_transitions
+    if adj_sweeps is None:
+        adj_sweeps = d if fp_iters == 0 else fp_iters + 1
     masks = tuple(np.asarray(m, np.float32) for m in make_masks(d, [h] * nh))
     interp = (not _on_tpu()) if interpret is None else interpret
 
@@ -385,7 +515,8 @@ def get_fused_iaf_chain(
         )
         z, ld, ys = pl.pallas_call(
             functools.partial(
-                _iaf_chain_fwd_kernel, d=d, n_blocks=nb, n_hidden=nh, tb=tb
+                _iaf_chain_fwd_kernel, d=d, n_blocks=nb, n_hidden=nh, tb=tb,
+                fp_iters=fp_iters,
             ),
             grid=(n_tiles, nt),
             in_specs=[
@@ -432,7 +563,8 @@ def get_fused_iaf_chain(
         )
         outs = pl.pallas_call(
             functools.partial(
-                _iaf_chain_bwd_kernel, d=d, n_blocks=nb, n_hidden=nh, tb=tb, nt=nt
+                _iaf_chain_bwd_kernel, d=d, n_blocks=nb, n_hidden=nh, tb=tb, nt=nt,
+                adj_sweeps=adj_sweeps,
             ),
             grid=(n_tiles, nt),
             in_specs=[

@@ -177,6 +177,98 @@ def test_chain_single_transition(chain_setup):
     np.testing.assert_allclose(np.asarray(ld_k[0]), np.asarray(ld_ref), rtol=1e-6, atol=1e-6)
 
 
+# ---------------------------------------------------------------------------
+# Jacobi fixed-point density blocks (fp_iters > 0): K+1 full MADE passes per
+# block instead of the D-step sequential scan; bit-exact at K >= D-1
+# ---------------------------------------------------------------------------
+
+
+def test_fixedpoint_xla_exact_at_d_minus_1(setup):
+    """Dim i of the Jacobi iterate is exact after i+1 iterations, so
+    n_iters = D-1 plus the final self-consistency pass reproduces the
+    sequential algorithm bit-for-bit — same total pass count as the scan."""
+    from rlvae_tpu.flows.iaf import iaf_forward_fixedpoint
+
+    params, masks, fused, x = setup
+    y_ref, ld_ref = iaf_forward(params, masks, x)
+    y, ld = iaf_forward_fixedpoint(params, masks, x, n_iters=D - 1)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+    np.testing.assert_array_equal(np.asarray(ld), np.asarray(ld_ref))
+
+
+def test_fixedpoint_xla_converges_early(setup):
+    """Under realistic weights the contraction makes K=8 land within fp32
+    noise of the exact inverse, at inputs spanning unit to 1e6 scale."""
+    from rlvae_tpu.flows.iaf import iaf_forward_fixedpoint
+
+    params, masks, fused, _ = setup
+    rng = np.random.default_rng(7)
+    for scale in (1.0, 1e3, 1e6):
+        x = jnp.asarray(rng.normal(size=(16, D)).astype(np.float32)) * scale
+        y_ref, ld_ref = iaf_forward(params, masks, x)
+        y, ld = iaf_forward_fixedpoint(params, masks, x, n_iters=8)
+        denom = np.maximum(np.abs(np.asarray(y_ref)), 1.0)
+        rel = np.abs(np.asarray(y - y_ref)) / denom
+        assert rel.max() < 1e-5, (scale, rel.max())
+        np.testing.assert_allclose(
+            np.asarray(ld), np.asarray(ld_ref), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_fixedpoint_chain_kernel_parity(chain_setup):
+    """The chain kernel with fp_iters = D-1 matches the sequential chain
+    bit-for-bit — forward, log-det, and every gradient (the backward kernel
+    is shared: its residuals are the block outputs, which are identical)."""
+    from rlvae_tpu.ops.iaf_kernels import get_fused_iaf_chain
+
+    flows, masks, _, params_chain, x, nt = chain_setup
+    chain_fp = get_fused_iaf_chain(D, H, NB, NH, nt, interpret=True, fp_iters=D - 1)
+
+    z_ref, ld_ref = _chain_ref(flows, masks, x, nt)
+    z_k, ld_k = chain_fp(params_chain, x)
+    np.testing.assert_allclose(np.asarray(z_k), np.asarray(z_ref), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld_k), np.asarray(ld_ref), rtol=1e-6, atol=1e-6)
+
+    def loss_ref(fl, x):
+        z, ld = _chain_ref(fl, masks, x, nt)
+        return jnp.sum(jnp.sin(z)) + jnp.sum(ld)
+
+    def loss_k(fl, x):
+        pc = [fl[min(t, len(fl) - 1)] for t in range(nt)]
+        z, ld = chain_fp(pc, x)
+        return jnp.sum(jnp.sin(z)) + jnp.sum(ld)
+
+    gr_f, gr_x = jax.grad(loss_ref, argnums=(0, 1))(flows, x)
+    gk_f, gk_x = jax.grad(loss_k, argnums=(0, 1))(flows, x)
+
+    def close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1e-3, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6 * scale)
+
+    close(gr_x, gk_x)
+    for a, b in zip(jax.tree_util.tree_leaves(gr_f), jax.tree_util.tree_leaves(gk_f)):
+        close(a, b)
+
+
+def test_fixedpoint_temporal_config_xla_path(chain_setup):
+    """apply_temporal_flows honors fixedpoint_iters on the XLA backend and
+    matches the default sequential path bit-for-bit at K = D-1."""
+    from rlvae_tpu.flows.temporal import TemporalFlowConfig, apply_temporal_flows
+
+    cfg_seq = TemporalFlowConfig(D, 2, H, NB, NH, backend="xla")
+    flows = cfg_seq.init(jax.random.PRNGKey(11))
+    x = jnp.asarray(np.random.default_rng(11).normal(size=(4, D)).astype(np.float32))
+    z_ref, ld_ref = apply_temporal_flows(cfg_seq, flows, x, 5)
+
+    cfg_fp = TemporalFlowConfig(
+        D, 2, H, NB, NH, backend="xla", fixedpoint_iters=D - 1
+    )
+    z_fp, ld_fp = apply_temporal_flows(cfg_fp, flows, x, 5)
+    np.testing.assert_array_equal(np.asarray(z_fp), np.asarray(z_ref))
+    np.testing.assert_array_equal(np.asarray(ld_fp), np.asarray(ld_ref))
+
+
 def test_apply_temporal_flows_uses_chain(monkeypatch):
     """With backend=pallas (interpret on CPU), apply_temporal_flows routes
     through the chain kernel and matches the XLA path end-to-end."""
