@@ -459,11 +459,37 @@ CHAIN_MIN_BATCH = 1
 CHAIN_MAX_BATCH = 1 << 30
 
 
-@functools.lru_cache(maxsize=None)
+# A/B override for the backward-mode default (scripts/bench_iaf_fixedpoint.py):
+# resolved BEFORE the build cache so each setting compiles its own program
+# (the trace-time-gating gotcha — see CLAUDE.md).  None = auto.
+ADJ_SWEEPS_OVERRIDE: int | None = None
+
+
 def get_fused_iaf_chain(
     input_dim: int, hidden_size: int, n_blocks: int, n_hidden: int,
     n_transitions: int, interpret: bool | None = None, fp_iters: int = 0,
     adj_sweeps: int | None = None,
+):
+    """Resolve the backward mode, then build via the shape cache.
+
+    See :func:`_build_fused_iaf_chain` for semantics.  ``adj_sweeps=None``
+    (auto) resolves to the module override if set, else to the exact
+    adjoint (D sweeps, or fp_iters+1 when the forward iterates)."""
+    if adj_sweeps is None:
+        adj_sweeps = ADJ_SWEEPS_OVERRIDE
+    if adj_sweeps is None:
+        adj_sweeps = input_dim if fp_iters == 0 else fp_iters + 1
+    return _build_fused_iaf_chain(
+        input_dim, hidden_size, n_blocks, n_hidden, n_transitions, interpret,
+        fp_iters, adj_sweeps,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fused_iaf_chain(
+    input_dim: int, hidden_size: int, n_blocks: int, n_hidden: int,
+    n_transitions: int, interpret: bool | None, fp_iters: int,
+    adj_sweeps: int,
 ):
     """Build (and cache) the whole-chain fused IAF: ONE Pallas program for
     all ``n_transitions`` temporal transitions (2 launches per train step
@@ -495,8 +521,6 @@ def get_fused_iaf_chain(
     only residuals are each block's final output.
     """
     d, h, nb, nh, nt = input_dim, hidden_size, n_blocks, n_hidden, n_transitions
-    if adj_sweeps is None:
-        adj_sweeps = d if fp_iters == 0 else fp_iters + 1
     masks = tuple(np.asarray(m, np.float32) for m in make_masks(d, [h] * nh))
     interp = (not _on_tpu()) if interpret is None else interpret
 

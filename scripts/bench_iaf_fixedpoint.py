@@ -1,17 +1,22 @@
 #!/usr/bin/env python
-"""A/B the Jacobi fixed-point IAF density blocks vs the sequential dim scan.
+"""A/B the IAF chain's fixed-point solvers vs the sequential algorithms.
 
-The density-direction block solves the strictly triangular system
-y = (x - mu(y)) * exp(-s(y)); the production path runs D sequential
-dim-steps (one full MADE pass each), the fixed-point path runs K+1 Jacobi
-passes (ops/iaf_kernels.py, fp_iters).  This measures the flagship train
-step (forward+grad+Adam) with fp_iters in {0, K} and reports the speedup,
-plus the in-process numerical deltas (loss and final-latent deviation with
+Two independent switches (ops/iaf_kernels.py):
+- forward: D sequential dim-steps (fp_iters=0) vs K+1 Jacobi passes
+  (fp_iters=K; bit-exact at K >= D-1);
+- backward: legacy per-dim reverse sweep (adj_sweeps=0: D x (MADE recompute
+  + VJP + weight-grad outer products)) vs the adjoint fixed-point VJP
+  (adj_sweeps=S: one MADE pass + S light input-VJP sweeps + one grad VJP;
+  EXACT at S >= D by nilpotency).
+
+This measures the flagship train step (forward+grad+Adam) across the arm
+matrix and reports speedups vs the round-2 production arm (seq fwd + legacy
+bwd), plus in-process numerical deltas (loss and latent deviation with
 identical weights/inputs) so speed and accuracy land in one artifact.
 
 Within-process, interleaved reps, median; each arm compiled AT the measured
-batch shape while its config is in force (CLAUDE.md trace-time-gating
-gotcha).
+batch shape while its overrides are in force (CLAUDE.md trace-time-gating
+gotcha — ADJ_SWEEPS_OVERRIDE is resolved before the build cache).
 """
 
 from __future__ import annotations
@@ -27,13 +32,14 @@ sys.path.insert(0, str(REPO_ROOT))
 import numpy as np  # noqa: E402
 
 
-def make_step(metric, fp_iters: int, batch: int):
+def make_step(metric, fp_iters: int, adj_sweeps: int | None, batch: int):
     """Build + COMPILE a train-step runner at `batch` with the given
-    fixed-point iteration count (0 = exact sequential scan)."""
+    forward iteration count and backward mode (None = auto adjoint)."""
     import jax
     import jax.numpy as jnp
 
     from rlvae_tpu.models import RlVAE
+    from rlvae_tpu.ops import iaf_kernels
     from rlvae_tpu.train.optim import make_optimizer
     from rlvae_tpu.train.trainer import make_train_step
 
@@ -59,8 +65,13 @@ def make_step(metric, fp_iters: int, batch: int):
     x = jnp.asarray(
         np.random.default_rng(0).uniform(size=(batch, 8, 3, 64, 64)).astype(np.float32)
     )
-    run(x, jax.random.PRNGKey(1), 3)  # compile at the measured shape
-    return run, state, model
+    prev = iaf_kernels.ADJ_SWEEPS_OVERRIDE
+    iaf_kernels.ADJ_SWEEPS_OVERRIDE = adj_sweeps
+    try:
+        run(x, jax.random.PRNGKey(1), 3)  # compile at the measured shape
+    finally:
+        iaf_kernels.ADJ_SWEEPS_OVERRIDE = prev
+    return run
 
 
 def parity_probe(metric, fp_iters: int, batch: int = 16):
@@ -92,6 +103,47 @@ def parity_probe(metric, fp_iters: int, batch: int = 16):
     return dl, float(rel.max())
 
 
+def grad_probe(metric, batch: int = 16):
+    """Adjoint vs legacy backward on identical weights/inputs: max scaled
+    gradient deviation across every parameter leaf."""
+    import jax
+    import jax.numpy as jnp
+
+    from rlvae_tpu.models import RlVAE
+    from rlvae_tpu.ops import iaf_kernels
+
+    model = RlVAE(
+        input_dim=(3, 64, 64), latent_dim=16, n_flows=8,
+        posterior_type="riemannian_metric", metric=metric,
+    )
+    v = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(3).uniform(size=(batch, 8, 3, 64, 64)).astype(np.float32)
+    )
+
+    def loss(params):
+        out = model.forward({**v, "params": params}, x, jax.random.PRNGKey(2))
+        return out["loss"]
+
+    grads = {}
+    for label, sweeps in (("legacy", 0), ("adjoint", None)):
+        prev = iaf_kernels.ADJ_SWEEPS_OVERRIDE
+        iaf_kernels.ADJ_SWEEPS_OVERRIDE = sweeps
+        try:
+            grads[label] = jax.device_get(jax.grad(loss)(v["params"]))
+        finally:
+            iaf_kernels.ADJ_SWEEPS_OVERRIDE = prev
+    worst = 0.0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads["legacy"]),
+        jax.tree_util.tree_leaves(grads["adjoint"]),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1e-3, float(np.abs(a).max()))
+        worst = max(worst, float(np.abs(b - a).max() / scale))
+    return worst
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -107,8 +159,15 @@ def main():
     )
 
     dl, dz = parity_probe(metric, k)
-    print(f"parity @K={k}: |dloss|={dl:.3e}  max rel |dz_seq|={dz:.3e}")
+    print(f"fwd parity @K={k}: |dloss|={dl:.3e}  max rel |dz_seq|={dz:.3e}")
+    gd = grad_probe(metric)
+    print(f"bwd parity adjoint-vs-legacy: max scaled grad dev={gd:.3e}")
 
+    arms = [
+        ("seq+legacy", 0, 0),       # round-2 production program
+        ("seq+adjoint", 0, None),   # exact fwd, exact adjoint bwd (D sweeps)
+        (f"fp{k}+adjoint", k, None),  # K+1-pass fwd, K+1-sweep bwd
+    ]
     for batch in batches:
         x = jnp.asarray(
             np.random.default_rng(0)
@@ -116,19 +175,18 @@ def main():
             .astype(np.float32)
         )
         key = jax.random.PRNGKey(1)
-        run_seq, _, _ = make_step(metric, 0, batch)
-        run_fp, _, _ = make_step(metric, k, batch)
-        run_seq(x, key, 3)
-        run_fp(x, key, 3)
-        seq_t, fp_t = [], []
+        runs = [(lbl, make_step(metric, fp, adj, batch)) for lbl, fp, adj in arms]
+        for _, r in runs:
+            r(x, key, 3)
+        times = {lbl: [] for lbl, _ in runs}
         for _ in range(7):  # interleaved A/B rounds
-            seq_t.append(run_seq(x, key, 10))
-            fp_t.append(run_fp(x, key, 10))
-        s = float(np.median(seq_t)) * 1e3
-        f = float(np.median(fp_t)) * 1e3
+            for lbl, r in runs:
+                times[lbl].append(r(x, key, 10))
+        med = {lbl: float(np.median(ts)) * 1e3 for lbl, ts in times.items()}
+        base = med["seq+legacy"]
         print(
-            f"B={batch}: sequential {s:.3f} ms/step vs fixedpoint(K={k}) "
-            f"{f:.3f} ms/step -> {s / f:.2f}x"
+            f"B={batch}: "
+            + "  ".join(f"{lbl} {m:.3f} ms ({base / m:.2f}x)" for lbl, m in med.items())
         )
 
 

@@ -177,6 +177,72 @@ def test_chain_single_transition(chain_setup):
     np.testing.assert_allclose(np.asarray(ld_k[0]), np.asarray(ld_ref), rtol=1e-6, atol=1e-6)
 
 
+def _chain_loss_pair(chain, flows, masks, x, nt):
+    """(loss_ref, loss_kernel) closures weighting transitions differently."""
+
+    def loss_ref(fl, x):
+        z, ld = _chain_ref(fl, masks, x, nt)
+        w = jnp.arange(1.0, nt + 1)[:, None, None]
+        return jnp.sum(jnp.sin(z) * w) + jnp.sum(ld * jnp.arange(1.0, nt + 1)[:, None])
+
+    def loss_k(fl, x):
+        pc = [fl[min(t, len(fl) - 1)] for t in range(nt)]
+        z, ld = chain(pc, x)
+        w = jnp.arange(1.0, nt + 1)[:, None, None]
+        return jnp.sum(jnp.sin(z) * w) + jnp.sum(ld * jnp.arange(1.0, nt + 1)[:, None])
+
+    return loss_ref, loss_k
+
+
+def _assert_grads_close(ga, gb, rtol=1e-5):
+    for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1e-3, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, rtol=rtol, atol=1e-6 * scale)
+
+
+def test_adjoint_vs_legacy_backward(chain_setup):
+    """The adjoint fixed-point VJP (auto default, D sweeps = exact: the
+    adjoint system's operator is strictly triangular, nilpotent index <= D)
+    agrees with the legacy per-dim sequential backward (adj_sweeps=0) on
+    every gradient; they differ only in f32 reduction order."""
+    from rlvae_tpu.ops.iaf_kernels import get_fused_iaf_chain
+
+    flows, masks, _, params_chain, x, nt = chain_setup
+    legacy = get_fused_iaf_chain(D, H, NB, NH, nt, interpret=True, adj_sweeps=0)
+    adjoint = get_fused_iaf_chain(D, H, NB, NH, nt, interpret=True, adj_sweeps=D)
+
+    _, loss_legacy = _chain_loss_pair(legacy, flows, masks, x, nt)
+    _, loss_adj = _chain_loss_pair(adjoint, flows, masks, x, nt)
+    gl = jax.grad(loss_legacy, argnums=(0, 1))(flows, x)
+    ga = jax.grad(loss_adj, argnums=(0, 1))(flows, x)
+    _assert_grads_close(gl, ga)
+
+
+def test_adjoint_backward_clamped_big_weights(setup):
+    """Adjoint exactness does not depend on the flow contracting: with
+    30x-scaled output weights (log-sigma pinned at the clamp, an expanding
+    map) the adjoint backward still matches XLA autodiff."""
+    from rlvae_tpu.ops.iaf_kernels import get_fused_iaf
+
+    params, masks, _, x = setup
+    big = [dict(p) for p in params]
+    big[0]["w3"] = big[0]["w3"] * 30.0
+    fused = get_fused_iaf(D, H, NB, NH, interpret=True, adj_sweeps=D)
+
+    def loss_ref(p, x):
+        y, ld = iaf_forward(p, masks, x)
+        return jnp.sum(jnp.sin(y)) + 2.0 * jnp.sum(ld)
+
+    def loss_k(p, x):
+        y, ld = fused(p, x)
+        return jnp.sum(jnp.sin(y)) + 2.0 * jnp.sum(ld)
+
+    ga = jax.grad(loss_ref, argnums=(0, 1))(big, x)
+    gb = jax.grad(loss_k, argnums=(0, 1))(big, x)
+    _assert_grads_close(ga, gb)
+
+
 # ---------------------------------------------------------------------------
 # Jacobi fixed-point density blocks (fp_iters > 0): K+1 full MADE passes per
 # block instead of the D-step sequential scan; bit-exact at K >= D-1
@@ -301,7 +367,7 @@ def test_chain_multi_tile_parity(monkeypatch):
     # fresh cache entry (interpret explicitly, distinct nt from other tests'
     # cached closures is not guaranteed -> clear the cache to re-trace under
     # the patched _tile)
-    ik.get_fused_iaf_chain.cache_clear()
+    ik._build_fused_iaf_chain.cache_clear()
     chain = ik.get_fused_iaf_chain(D, H, NB, NH, nt, interpret=True)
     pc = [flows[0], flows[0]]
     x = jnp.asarray(np.random.default_rng(5).normal(size=(20, D)).astype(np.float32))
@@ -330,4 +396,4 @@ def test_chain_multi_tile_parity(monkeypatch):
     close(gr_x, gk_x)
     for a, b in zip(jax.tree_util.tree_leaves(gr_f), jax.tree_util.tree_leaves(gk_f)):
         close(a, b)
-    ik.get_fused_iaf_chain.cache_clear()  # drop the patched-_tile closure
+    ik._build_fused_iaf_chain.cache_clear()  # drop the patched-_tile closure
