@@ -40,6 +40,11 @@ def validate_config(cfg: Mapping[str, Any]) -> List[str]:
     )
     loop_mode = (model.get("loop") or {}).get("mode", "open")
     check(loop_mode in LOOP_MODES, f"model.loop.mode '{loop_mode}' not in {LOOP_MODES}")
+    flow_loss_mode = model.get("flow_loss_mode", "reference")
+    check(
+        flow_loss_mode in ("reference", "volume"),
+        f"model.flow_loss_mode '{flow_loss_mode}' must be 'reference' or 'volume'",
+    )
     for side in ("encoder", "decoder"):
         arch = (model.get(side) or {}).get("architecture", "mlp")
         check(arch in VALID_ARCHS, f"model.{side}.architecture '{arch}' not in {sorted(VALID_ARCHS)}")

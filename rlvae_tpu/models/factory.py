@@ -69,6 +69,9 @@ def create_model(config: Mapping[str, Any], name: Optional[str] = None) -> RlVAE
         loop_penalty=float(loop.get("penalty", 0.0)),
         flow_direction=str(config.get("flow_direction", "density")),
         flow_fixedpoint_iters=int(config.get("flow_fixedpoint_iters", 0)),
+        # 'reference' = exact parity (expansion-rewarding -sum logdet);
+        # 'volume' = bounded volume-preservation penalty (stable preset)
+        flow_loss_mode=str(config.get("flow_loss_mode", "reference")),
         # -2.0 reproduces the reference init (exp(1.5)/block amplification at
         # epoch 0); 0.0 opts into near-identity flows with bounded latents
         flow_log_var_bias_init=float(config.get("flow_log_var_bias_init", -2.0)),

@@ -81,10 +81,25 @@ def riemannian_full_kl(
     )
 
 
-def flow_loss(log_dets: Array) -> Array:
-    """-E[sum log|det J|] (reference: riemannian_flow_vae.py:1218-1219)."""
+def flow_loss(log_dets: Array, mode: str = "reference") -> Array:
+    """Flow regularizer over per-transition log|det J| terms [B, T-1].
+
+    ``"reference"``: -E[sum log|det J|] (reference:
+    riemannian_flow_vae.py:1218-1219).  Minimizing this REWARDS expansion
+    without bound: the optimum saturates every MADE block's log-sigma clamp
+    at -1.5, scaling |z| by e^{1.5 * n_blocks} per transition — the proven
+    source of the flagship's 1e10+ latent norms (both frameworks;
+    outputs/curve_parity_flagship/, docs/ROADMAP.md).
+
+    ``"volume"``: E[sum |log|det J||] — a volume-preservation penalty,
+    zero iff every transition preserves latent volume and bounded below,
+    so it cannot drive runaway expansion (beyond-reference stabilization;
+    conf/model/riemannian_flow_vae_stable.yaml).
+    """
     if log_dets.shape[1] == 0:
         return jnp.zeros(())
+    if mode == "volume":
+        return jnp.mean(jnp.sum(jnp.abs(log_dets), axis=1))
     return -jnp.mean(jnp.sum(log_dets, axis=1))
 
 

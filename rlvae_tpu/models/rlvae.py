@@ -68,6 +68,7 @@ class RlVAE:
         flow_direction: str = "density",
         flow_log_var_bias_init: float = -2.0,
         flow_fixedpoint_iters: int = 0,
+        flow_loss_mode: str = "reference",
         encoder_config: Optional[Mapping[str, Any]] = None,
         decoder_config: Optional[Mapping[str, Any]] = None,
         metric: Optional[CentroidMetric] = None,
@@ -79,6 +80,8 @@ class RlVAE:
             raise ValueError(f"posterior_type must be one of {POSTERIOR_TYPES}")
         if loop_mode not in LOOP_MODES:
             raise ValueError(f"loop_mode must be one of {LOOP_MODES}")
+        if flow_loss_mode not in ("reference", "volume"):
+            raise ValueError("flow_loss_mode must be 'reference' or 'volume'")
         self.input_dim = tuple(input_dim)
         self.latent_dim = latent_dim
         self.n_flows = n_flows
@@ -89,6 +92,7 @@ class RlVAE:
         self.use_riemannian = bool(use_riemannian)
         self.loop_mode = loop_mode
         self.loop_lambda = float(loop_penalty)
+        self.flow_loss_mode = flow_loss_mode
         self.name = name
 
         self.encoder = create_encoder(self.input_dim, latent_dim, encoder_config)
@@ -306,7 +310,7 @@ class RlVAE:
             kl = losses.standard_kl(mu, log_var)
             kl_weight = self.beta
 
-        flow = losses.flow_loss(log_dets)
+        flow = losses.flow_loss(log_dets, self.flow_loss_mode)
         loop = (
             losses.loop_penalty(z_last_raw, z_seq[:, 0])
             if self.loop_mode == "closed"

@@ -248,6 +248,72 @@ def test_identity_flow_init_bounds_latents():
     assert z_i[:, -1].max() < 10 * z_i[:, 0].max()
 
 
+def test_flow_loss_modes_unit():
+    """flow_loss 'reference' vs 'volume' semantics on hand-built log-dets."""
+    from rlvae_tpu.models import losses
+
+    ld = jnp.asarray([[2.0, -1.0], [0.5, 0.5]])
+    ref = float(losses.flow_loss(ld, "reference"))
+    vol = float(losses.flow_loss(ld, "volume"))
+    assert abs(ref - (-(2.0 - 1.0 + 0.5 + 0.5) / 2.0)) < 1e-6
+    assert abs(vol - ((2.0 + 1.0 + 0.5 + 0.5) / 2.0)) < 1e-6
+    # empty transitions (vanilla config) -> zero in both modes
+    empty = jnp.zeros((4, 0))
+    assert float(losses.flow_loss(empty, "reference")) == 0.0
+    assert float(losses.flow_loss(empty, "volume")) == 0.0
+    with pytest.raises(ValueError):
+        RlVAE(**SMALL, flow_loss_mode="nonsense")
+
+
+def test_flow_loss_volume_mode_stabilizes_training():
+    """The reference flow loss -sum logdet REWARDS expansion: training
+    drives the MADE log-sigma terms toward the clamp and |z_t| grows
+    (the proven source of the flagship's 1e10+ latent norms,
+    outputs/curve_parity_flagship/).  flow_loss_mode='volume' penalizes
+    |logdet| instead, keeping transitions near volume-preserving — the
+    stabilized preset (conf/model/riemannian_flow_vae_stable.yaml)."""
+    from rlvae_tpu.train.optim import make_optimizer
+    from rlvae_tpu.train.trainer import make_train_step
+
+    kw = dict(
+        input_dim=(3, 8, 8), latent_dim=16, n_flows=2, flow_hidden_size=32,
+        posterior_type="gaussian", sampling_method="standard",
+        use_riemannian=False, flow_log_var_bias_init=0.0,
+    )
+    x = _batch(b=8, t=4)
+
+    def train(mode, steps=100):
+        model = RlVAE(**kw, flow_loss_mode=mode)
+        v = model.init(jax.random.PRNGKey(0), n_obs=4)
+        opt = make_optimizer(5e-3, 0.0)
+        os_ = opt.init(v["params"])
+        step = make_train_step(model, opt)
+        for i in range(steps):
+            v, os_, _ = step(v, os_, x, jax.random.PRNGKey(i))
+        out = model.forward(v, x, jax.random.PRNGKey(999))
+        z = np.asarray(out.z)
+        return float(out.flow_loss), np.linalg.norm(z[:, -1], axis=-1).mean()
+
+    ref_flow, ref_norm = train("reference")
+    vol_flow, vol_norm = train("volume")
+    # reference objective exploits the unbounded expansion reward ...
+    assert ref_flow < -5.0, ref_flow
+    # ... volume mode keeps transitions near volume-preserving and bounded
+    assert 0.0 <= vol_flow < 2.0, vol_flow
+    assert ref_norm > 3.0 * vol_norm, (ref_norm, vol_norm)
+
+
+def test_stable_preset_composes():
+    """model=riemannian_flow_vae_stable builds through the factory with the
+    stabilization knobs active and the rest of the surface identical."""
+    cfg = compose(CONF, overrides=["model=riemannian_flow_vae_stable"])
+    model = create_model(cfg.model.to_dict())
+    assert model.flow_loss_mode == "volume"
+    assert model.flow_config.log_var_bias_init == 0.0
+    assert model.n_flows == 8 and model.riemannian_beta == 8.0
+    assert model.metric is not None  # same pretrained metric wiring
+
+
 def test_init_tolerates_missing_pretrained_files(capsys):
     """A config pointing at nonexistent pretrained artifacts must warn and
     train from scratch — the reference's loader degrades on ANY failure
