@@ -34,7 +34,7 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["ServeConfig", "BatchingEngine", "EngineStats"]
+__all__ = ["ServeConfig", "BatchingEngine", "EngineStats", "make_sharded_ops"]
 
 
 @dataclass(frozen=True)
@@ -96,6 +96,83 @@ class _Request:
         self.t_enqueue = time.perf_counter()
 
 
+def make_sharded_ops(
+    manager,
+    mesh,
+    generate_n_obs: int = 8,
+    generate_method: str = "geodesic",
+) -> Dict[str, Callable[[np.ndarray], np.ndarray]]:
+    """Op table dispatching each coalesced batch SPMD over a device mesh.
+
+    Data-parallel serving: the bucket-padded batch is sharded over the
+    mesh's ``data`` axis (parameters replicated once at build time), so
+    serving throughput scales with chips exactly like the DP training step
+    (rlvae_tpu/parallel/sharding.py) — one dispatch, XLA splits the batch
+    over ICI, the host gathers the output rows.  The reference serves one
+    request at a time on one GPU (reference: app/backend/model_manager.py);
+    this is the pod-scale replacement.
+
+    Batches whose length does not divide the data axis are padded up by
+    repeating the last row (same policy as the engine's bucket padding) and
+    sliced back after the gather, so any ``ServeConfig.buckets`` works on
+    any mesh.  Deterministic ops (encode/decode) are padding-invariant;
+    ``reconstruct`` draws its posterior noise from the padded batch shape,
+    matching the engine's existing bucket semantics; ``generate`` derives
+    per-row keys from per-row seeds, so padding never changes a row.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rlvae_tpu.parallel.mesh import DATA_AXIS
+    from rlvae_tpu.parallel.sharding import batch_sharding, replicated
+
+    ndev = mesh.shape[DATA_AXIS]
+    bsh = batch_sharding(mesh)
+    variables = jax.device_put(manager.variables, replicated(mesh))
+    key = jax.device_put(jax.random.PRNGKey(0), replicated(mesh))
+    model = manager.model
+
+    fwd = jax.jit(lambda v, x, k: model.forward(v, x, k).recon_x)
+    enc = jax.jit(lambda v, x: model.encode(v, x)[0].embedding)
+    dec = jax.jit(lambda v, z: model.decode(v, z)[0].reconstruction)
+
+    def gen_fn(v, seeds):
+        return jax.vmap(
+            lambda s: model.generate(
+                v, jax.random.PRNGKey(s), 1,
+                n_obs=generate_n_obs, method=generate_method,
+            )[0]
+        )(seeds)
+
+    gen = jax.jit(gen_fn)
+
+    def sharded(fn, dtype, *extra):
+        def op(batch):
+            batch = np.asarray(batch, dtype)
+            n = batch.shape[0]
+            m = -(-n // ndev) * ndev  # round up to a multiple of the data axis
+            if m > n:
+                pad = np.broadcast_to(batch[-1:], (m - n, *batch.shape[1:]))
+                batch = np.concatenate([batch, pad])
+            xb = jax.device_put(jnp.asarray(batch), bsh)
+            out = fn(variables, xb, *extra)
+            # observability: how many devices the last dispatch actually
+            # spanned (tests + /api/serving stats read this)
+            op.last_out_ndev = len(out.sharding.device_set)
+            return np.asarray(out)[:n]
+
+        op.mesh = mesh  # introspection hook for tests/stats
+        op.last_out_ndev = 0
+        return op
+
+    return {
+        "reconstruct": sharded(fwd, np.float32, key),
+        "encode": sharded(enc, np.float32),
+        "decode": sharded(dec, np.float32),
+        "generate": sharded(gen, np.uint32),
+    }
+
+
 class BatchingEngine:
     """Coalesce per-item requests into bucket-padded device batches.
 
@@ -132,12 +209,25 @@ class BatchingEngine:
         config: ServeConfig = ServeConfig(),
         generate_n_obs: int = 8,
         generate_method: str = "geodesic",
+        mesh=None,
     ) -> "BatchingEngine":
         """Standard op table over a ModelManager: sequence reconstruction,
         frame encoding, latent decoding, and seeded prior generation (the
         ``generate`` payload is ONE scalar seed per item; co-arriving
         requests with different seeds share a dispatch without changing any
-        request's output — ModelManager.sample_random_batched_seeds)."""
+        request's output — ModelManager.sample_random_batched_seeds).
+
+        With ``mesh`` set, every dispatch runs SPMD over the mesh's ``data``
+        axis (:func:`make_sharded_ops`) — data-parallel serving."""
+        if mesh is not None:
+            return cls(
+                make_sharded_ops(
+                    manager, mesh,
+                    generate_n_obs=generate_n_obs,
+                    generate_method=generate_method,
+                ),
+                config,
+            )
         import jax
 
         key = jax.random.PRNGKey(0)

@@ -209,6 +209,95 @@ def test_generate_seeded_batching_matches_direct():
         eng.stop()
 
 
+_TINY_CFG = {
+    "name": "vanilla_vae",
+    "input_dim": [3, 8, 8],
+    "latent_dim": 4,
+    "n_flows": 2,
+    "flow_hidden_size": 16,
+    "encoder": {"architecture": "mlp", "hidden_dims": [16]},
+    "decoder": {"architecture": "mlp", "hidden_dims": [16]},
+}
+
+
+def test_sharded_ops_parity_8_devices():
+    """DP serving: make_sharded_ops dispatches each batch SPMD over the
+    8-device mesh and every row equals the single-device computation —
+    deterministic ops on the non-divisible (pad) path, reconstruct at the
+    exact batch shape, generate per-seed regardless of padding."""
+    from rlvae_tpu.inference import ModelManager
+    from rlvae_tpu.parallel import create_mesh
+    from rlvae_tpu.serving import make_sharded_ops
+
+    mgr = ModelManager.from_config(_TINY_CFG, seed=0)
+    mesh = create_mesh()  # all 8 faked CPU devices
+    ops = make_sharded_ops(mgr, mesh, generate_n_obs=3)
+    rng = np.random.default_rng(0)
+
+    # deterministic ops, n=5: pads to 8 internally, slices back
+    frames = rng.uniform(size=(5, 3, 8, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        ops["encode"](frames), np.asarray(mgr.encode(frames).embedding),
+        rtol=1e-5, atol=1e-5,
+    )
+    assert ops["encode"].last_out_ndev == 8  # actually ran SPMD
+    z = rng.normal(size=(5, 4)).astype(np.float32)
+    np.testing.assert_allclose(ops["decode"](z), mgr.decode(z), rtol=1e-5, atol=1e-5)
+
+    # reconstruct draws noise from the (padded) batch shape: compare at a
+    # divisible shape where no padding happens -> exact parity with the
+    # single-device forward under the same key
+    seqs = rng.uniform(size=(8, 4, 3, 8, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        ops["reconstruct"](seqs), mgr.reconstruct(seqs, seed=0), rtol=1e-5, atol=1e-5
+    )
+    assert ops["reconstruct"].last_out_ndev == 8
+
+    # generate derives per-row keys from per-row seeds: padding-invariant
+    seeds = np.uint32([7, 123, 7, 999, 5])  # n=5 pads to 8
+    got = ops["generate"](seeds)
+    assert got.shape[0] == 5
+    for i, s in enumerate(seeds):
+        np.testing.assert_allclose(
+            got[i], mgr.sample_random(1, seed=int(s), n_obs=3)[0],
+            rtol=1e-4, atol=1e-4,
+        )
+    np.testing.assert_allclose(got[0], got[2], rtol=0, atol=0)
+
+
+def test_from_manager_mesh_engine_e2e():
+    """The engine over sharded ops: concurrent seeded-generate requests
+    coalesce into SPMD dispatches and each future still resolves to exactly
+    its seed's row."""
+    from rlvae_tpu.inference import ModelManager
+    from rlvae_tpu.parallel import create_mesh
+    from rlvae_tpu.serving import BatchingEngine
+
+    mgr = ModelManager.from_config(_TINY_CFG, seed=0)
+    mesh = create_mesh()
+    eng = BatchingEngine.from_manager(
+        mgr, ServeConfig(buckets=(1, 2, 4), max_wait_ms=200.0),
+        generate_n_obs=3, mesh=mesh,
+    )
+    try:
+        seeds = [3, 41, 3, 77]
+        futs = [eng.submit("generate", np.uint32(s)) for s in seeds]
+        got = np.stack([np.asarray(f.result(timeout=300)) for f in futs])
+        for i, s in enumerate(seeds):
+            np.testing.assert_allclose(
+                got[i], mgr.sample_random(1, seed=s, n_obs=3)[0],
+                rtol=1e-4, atol=1e-4,
+            )
+        np.testing.assert_allclose(got[0], got[2], rtol=0, atol=0)
+        assert eng.ops["generate"].last_out_ndev == 8
+        z = np.random.default_rng(1).normal(size=(4,)).astype(np.float32)
+        dec = np.asarray(eng.run("decode", z, timeout=300))
+        np.testing.assert_allclose(dec, mgr.decode(z[None])[0], rtol=1e-5, atol=1e-5)
+        assert eng.ops["decode"].last_out_ndev == 8
+    finally:
+        eng.stop()
+
+
 def test_queue_full_is_explicit_backpressure():
     """A full queue raises instead of blocking while holding the engine
     lock (which would deadlock against the dispatcher's stats update)."""
