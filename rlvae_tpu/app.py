@@ -269,11 +269,14 @@ def main(argv=None):
                     help="serve the live 6-page research app over this "
                          "outputs directory instead of writing a static report")
     ap.add_argument("--port", type=int, default=8008)
+    ap.add_argument("--serve-mesh", action="store_true",
+                    help="dispatch inference batches SPMD over all visible "
+                         "devices (data-parallel serving)")
     args = ap.parse_args(argv)
     if args.serve:
         from rlvae_tpu.app_server import serve
 
-        serve(args.run_dir, port=args.port, block=True)
+        serve(args.run_dir, port=args.port, block=True, serve_mesh=args.serve_mesh)
     else:
         build_report(args.run_dir, args.out, args.n_samples)
 

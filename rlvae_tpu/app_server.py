@@ -121,8 +121,9 @@ class ExperimentBackend:
 class AppState:
     """Shared server state: run discovery + ModelManager cache."""
 
-    def __init__(self, outputs_dir: str | Path = "outputs"):
+    def __init__(self, outputs_dir: str | Path = "outputs", serve_mesh: bool = False):
         self.outputs_dir = Path(outputs_dir)
+        self.serve_mesh = serve_mesh
         self.backend = ExperimentBackend(outputs_dir)
         self._managers: Dict[str, Any] = {}
         self._engines: Dict[str, Any] = {}
@@ -179,12 +180,23 @@ class AppState:
             e = self._engines.get(run_name)
         if e is None:
             mgr = self.manager(run_name)
+            mesh = None
+            if self.serve_mesh:
+                import jax
+
+                from rlvae_tpu.parallel import create_mesh
+
+                if jax.device_count() > 1:
+                    # DP serving: coalesced batches dispatch SPMD over all
+                    # chips (serving.make_sharded_ops)
+                    mesh = create_mesh()
             e = BatchingEngine.from_manager(
                 mgr,
                 ServeConfig(buckets=(1, 2, 4, 8), max_wait_ms=3.0),
                 # seeded generation batches per-request seeds; sequences have
                 # the run's own n_obs
                 generate_n_obs=int(self.sample_batch(run_name, 1).shape[1]),
+                mesh=mesh,
             )
             with self._lock:
                 winner = self._engines.setdefault(run_name, e)
@@ -567,9 +579,13 @@ def make_handler(state: AppState):
     return Handler
 
 
-def serve(outputs_dir: str | Path = "outputs", port: int = 8008, block: bool = True):
-    """Start the app server; returns (server, state) when block=False."""
-    state = AppState(outputs_dir)
+def serve(outputs_dir: str | Path = "outputs", port: int = 8008, block: bool = True,
+          serve_mesh: bool = False):
+    """Start the app server; returns (server, state) when block=False.
+
+    ``serve_mesh=True`` dispatches every inference batch SPMD over all
+    visible devices (data-parallel serving, serving.make_sharded_ops)."""
+    state = AppState(outputs_dir, serve_mesh=serve_mesh)
     server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(state))
     print(f"[app] serving http://127.0.0.1:{server.server_address[1]} (pages: {', '.join(PAGES)})")
     if block:

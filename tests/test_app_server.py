@@ -219,3 +219,35 @@ def test_interpolate_endpoint_modes(server):
         _get(port, f"/api/model/{run_name}/interpolate?mode=geodesic")
     err = json.loads(exc.value.read())
     assert "metric" in err["error"]
+
+
+def test_serve_mesh_engine_dispatches_spmd(tmp_path):
+    """AppState(serve_mesh=True) builds its per-run engines over the full
+    device mesh: one inference request dispatches SPMD across all 8 faked
+    devices (serving.make_sharded_ops wiring)."""
+    import numpy as np
+
+    from rlvae_tpu.app_server import AppState
+    from rlvae_tpu.inference import ModelManager
+
+    cfg = {
+        "name": "vanilla_vae",
+        "input_dim": [3, 8, 8],
+        "latent_dim": 4,
+        "n_flows": 2,
+        "flow_hidden_size": 16,
+        "encoder": {"architecture": "mlp", "hidden_dims": [16]},
+        "decoder": {"architecture": "mlp", "hidden_dims": [16]},
+    }
+    state = AppState(tmp_path, serve_mesh=True)
+    mgr = ModelManager.from_config(cfg, seed=0)
+    state.manager = lambda run: mgr
+    state.sample_batch = lambda run, n: np.zeros((n, 3, 3, 8, 8), np.float32)
+    eng = state.engine("fake_run")
+    try:
+        assert eng.ops["generate"].mesh is not None
+        row = np.asarray(eng.run("generate", np.uint32(7), timeout=300))
+        assert row.shape == (3, 3, 8, 8) and np.isfinite(row).all()
+        assert eng.ops["generate"].last_out_ndev == 8
+    finally:
+        eng.stop()
