@@ -15,7 +15,11 @@ reconstruct surfaces.  Writes ``outputs/serving_engine/serving_engine.json``.
 Within-process, warmed per (op, bucket), so numbers are comparable
 (CLAUDE.md: the axon tunnel's cross-process lottery).
 
-Usage: python scripts/bench_serving_engine.py [n_requests]
+Usage: python scripts/bench_serving_engine.py [n_requests] [--mesh]
+
+``--mesh`` builds the engines over the full device mesh (data-parallel
+serving, rlvae_tpu.serving.make_sharded_ops) — on a multi-chip host the
+batched mode then scales with chips; on one chip it is a no-op.
 """
 
 from __future__ import annotations
@@ -64,7 +68,15 @@ def main():
     from rlvae_tpu.models import RlVAE
     from rlvae_tpu.serving import BatchingEngine, ServeConfig
 
-    n_requests = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    args = [a for a in sys.argv[1:] if a != "--mesh"]
+    use_mesh = "--mesh" in sys.argv[1:]
+    n_requests = int(args[0]) if args else 256
+    mesh = None
+    if use_mesh:
+        from rlvae_tpu.parallel import create_mesh
+
+        mesh = create_mesh()
+        print(f"mesh serving over {jax.device_count()} devices", file=sys.stderr)
 
     metric = load_metric(REPO / "data" / "pretrained" / "metric.npz")
     model = RlVAE(
@@ -77,14 +89,15 @@ def main():
     frames = rng.uniform(size=(n_requests, 3, 64, 64)).astype(np.float32)
     seqs = rng.uniform(size=(n_requests // 4, 8, 3, 64, 64)).astype(np.float32)
 
-    report = {"device": str(jax.devices()[0]), "n_requests": n_requests, "modes": {}}
+    report = {"device": str(jax.devices()[0]), "n_requests": n_requests,
+              "mesh_devices": jax.device_count() if use_mesh else 1, "modes": {}}
     for mode, cfg in (
         ("serial", ServeConfig(buckets=(1,), max_wait_ms=0.0)),
         # a coarse bucket set keeps warm-up compiles (each flagship forward
         # ~20-40 s to compile) to 4 per op while still amortizing dispatch
         ("batched", ServeConfig(buckets=(1, 4, 16, 64), max_wait_ms=3.0)),
     ):
-        eng = BatchingEngine.from_manager(mgr, cfg)
+        eng = BatchingEngine.from_manager(mgr, cfg, mesh=mesh)
         try:
             eng.warmup({"encode": frames[0], "reconstruct": seqs[0],
                         "generate": np.uint32(0)})
