@@ -286,6 +286,14 @@ class ExportedModel:
                 raise ValueError(
                     f"weight leaf shape {np.shape(new)} != exported {np.shape(old)}"
                 )
+            if np.asarray(new).dtype != np.asarray(old).dtype:
+                # catch at swap time: the exported program's input signature
+                # is dtype-exact, so a mismatch would otherwise surface as an
+                # opaque aval error at the first run() after the swap
+                raise ValueError(
+                    f"weight leaf dtype {np.asarray(new).dtype} != exported "
+                    f"{np.asarray(old).dtype}"
+                )
         self._weights = [jax.device_put(l) for l in packed]
 
     def as_ops(self, ops: Optional[Sequence[str]] = None) -> Dict[str, Callable]:

@@ -745,8 +745,10 @@ class LLDM:
             # per-visit running tallies (lldm_model.py:99-103); eager calls
             # only — inside jit the values are tracers
             tally = self.res_dict[vi_index]
-            tally["rec_loss"] += float(recon_loss)
-            tally["reg_loss"] += float(kld)
+            # one batched fetch (per-scalar float() is ~ms each on the tunnel)
+            vals = jax.device_get({"rec": recon_loss, "reg": kld})
+            tally["rec_loss"] += float(vals["rec"])
+            tally["reg_loss"] += float(vals["reg"])
             tally["count"] += 1
         return ModelOutput(
             loss=loss, reconstruction_loss=recon_loss, reg_loss=kld,
@@ -995,10 +997,11 @@ class LLDM:
                                  + (1 - x_flat) * jnp.log(1 - r), axis=-1)
                 log_p_x.append(lp.reshape(bs, self.n_obs).mean(axis=-1))
             log_p_x = jnp.concatenate(log_p_x)
-            log_p.append(float(
+            # keep on device; one batched fetch after the loop (tunnel cost)
+            log_p.append(
                 jax.scipy.special.logsumexp(log_p_x) - math.log(log_p_x.shape[0])
-            ))
-        return float(np.mean(log_p))
+            )
+        return float(np.mean(jax.device_get(log_p)))
 
     # -- encode (lldm_model.py:1001-1022) --------------------------------------------
 

@@ -192,6 +192,10 @@ class BatchingEngine:
             raise ValueError("BatchingEngine needs at least one op")
         self.ops = dict(ops)
         self.config = config
+        # learned per-op item shape (from warmup or the first successful
+        # dispatch): lets submit() reject malformed payloads client-side
+        # instead of poisoning every co-batched request at np.stack time
+        self._item_shapes: Dict[str, Optional[Tuple[int, ...]]] = {op: None for op in ops}
         self.stats = EngineStats(latencies_ms={op: collections.deque(maxlen=2048) for op in ops})
         self._queues: Dict[str, queue.Queue] = {
             op: queue.Queue(maxsize=config.queue_capacity) for op in ops
@@ -249,6 +253,13 @@ class BatchingEngine:
         if op not in self.ops:
             raise KeyError(f"unknown op {op!r}; have {sorted(self.ops)}")
         req = _Request(op, np.asarray(item), None)
+        known = self._item_shapes.get(op)
+        if known is not None and req.payload.shape != known:
+            # reject HERE so one malformed payload can't fail the whole
+            # coalesced batch it would otherwise be stacked into
+            raise ValueError(
+                f"item shape {req.payload.shape} != expected {known} for op {op!r}"
+            )
         # the stop check and the enqueue are one atomic section against
         # stop()'s drain (same lock), so no request can slip into a dead
         # queue after the drain and strand its waiter
@@ -283,6 +294,7 @@ class BatchingEngine:
         pays a trace.  ``example_items`` maps op -> one example item."""
         for op, item in example_items.items():
             fn = self.ops[op]
+            self._item_shapes[op] = tuple(np.shape(item))
             for b in buckets or self.config.buckets:
                 batch = np.broadcast_to(np.asarray(item)[None], (b, *np.shape(item))).copy()
                 np.asarray(fn(batch))
@@ -353,6 +365,21 @@ class BatchingEngine:
             self._dispatch(op, reqs)
 
     def _dispatch(self, op: str, reqs: List[_Request]):
+        # first-batch race: shapes unknown until warmup/first dispatch, so a
+        # mixed batch can still reach here — fail ONLY the odd rows and keep
+        # serving the consistent ones
+        shape0 = self._item_shapes.get(op) or reqs[0].payload.shape
+        bad = [r for r in reqs if r.payload.shape != shape0]
+        if bad:
+            reqs = [r for r in reqs if r.payload.shape == shape0]
+            for r in bad:
+                if not r.future.cancelled():
+                    r.future.set_exception(ValueError(
+                        f"item shape {r.payload.shape} != expected {shape0} "
+                        f"for op {op!r}"
+                    ))
+            if not reqs:
+                return
         n = len(reqs)
         bucket = self._bucket(n)
         try:
@@ -371,6 +398,8 @@ class BatchingEngine:
                 if not r.future.cancelled():
                     r.future.set_exception(exc)
             return
+        if self._item_shapes.get(op) is None:
+            self._item_shapes[op] = tuple(shape0)
         with self._lock:
             self.stats.requests += n
             self.stats.batches += 1

@@ -115,6 +115,15 @@ def test_weight_swap_without_reexport(manager, tmp_path):
     assert not np.allclose(before, after)
     with pytest.raises(ValueError, match="leaves"):
         loaded.set_weights({"params": {}})
+    # dtype mismatches must fail AT SWAP TIME, not as an opaque aval error
+    # at the first run() after the swap
+    import jax
+
+    bf16 = jax.tree_util.tree_map(
+        lambda l: np.asarray(l).astype("bfloat16"), other.variables
+    )
+    with pytest.raises(ValueError, match="dtype"):
+        loaded.set_weights(bf16)
 
 
 def test_multi_platform_bundle(manager, tmp_path):

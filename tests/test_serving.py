@@ -209,6 +209,41 @@ def test_generate_seeded_batching_matches_direct():
         eng.stop()
 
 
+def test_bad_shape_request_does_not_poison_batch():
+    """A malformed payload must fail ONLY its own future — co-batched valid
+    requests still get their rows (first-batch path: no shapes learned yet)."""
+    fn = jax.jit(lambda x: x + 1.0)
+    eng = BatchingEngine({"op": fn}, ServeConfig(buckets=(1, 2, 4), max_wait_ms=50.0))
+    try:
+        good = [eng.submit("op", np.float32([i, i])) for i in range(3)]
+        bad = eng.submit("op", np.float32([9.0, 9.0, 9.0]))  # wrong item shape
+        for i, f in enumerate(good):
+            np.testing.assert_allclose(np.asarray(f.result(timeout=30)), [i + 1.0, i + 1.0])
+        with pytest.raises(ValueError, match="shape"):
+            bad.result(timeout=30)
+        # shape is now learned from the successful dispatch: malformed
+        # payloads are rejected at submit() before they can coalesce
+        with pytest.raises(ValueError, match="shape"):
+            eng.submit("op", np.float32([1.0]))
+    finally:
+        eng.stop()
+
+
+def test_warmup_teaches_item_shapes():
+    """After warmup, submit() rejects wrong-shaped payloads immediately."""
+    eng = _mk_engine(max_wait_ms=0.0)
+    try:
+        eng.warmup({"op": np.float32([0.0, 0.0])}, buckets=(1,))
+        with pytest.raises(ValueError, match="shape"):
+            eng.submit("op", np.float32([[1.0, 2.0]]))
+        np.testing.assert_allclose(
+            np.asarray(eng.run("op", np.float32([1.0, 2.0]), timeout=30)),
+            [2.0 + 3.0, 4.0 + 3.0],
+        )
+    finally:
+        eng.stop()
+
+
 _TINY_CFG = {
     "name": "vanilla_vae",
     "input_dim": [3, 8, 8],
