@@ -113,6 +113,10 @@ def _op_table(manager, n_obs: int, generate_method: str, treedef, unpack):
     def unflatten(leaves):
         return jax.tree_util.tree_unflatten(treedef, unpack(leaves))
 
+    from rlvae_tpu.inference import seeded_generate_fn
+
+    _seeded_gen = seeded_generate_fn(model, n_obs, generate_method)
+
     return {
         "reconstruct": (
             ((n_obs, c, h, w), jnp.float32),
@@ -128,12 +132,7 @@ def _op_table(manager, n_obs: int, generate_method: str, treedef, unpack):
         ),
         "generate": (
             ((), jnp.uint32),
-            lambda leaves, seeds: jax.vmap(
-                lambda s: model.generate(
-                    unflatten(leaves), jax.random.PRNGKey(s), 1,
-                    n_obs=n_obs, method=generate_method,
-                )[0]
-            )(seeds),
+            lambda leaves, seeds: _seeded_gen(unflatten(leaves), seeds),
         ),
     }
 

@@ -21,6 +21,24 @@ from rlvae_tpu.models import RlVAE, create_model
 from rlvae_tpu.utils.output import ModelOutput
 
 
+def seeded_generate_fn(model, n_obs: int, method: str):
+    """``gen(variables, seeds[B]) -> [B, n_obs, ...]``: row i is exactly the
+    one sequence ``generate(1, seed=seeds[i])`` would produce, but the whole
+    batch runs as a single dispatch (vmap over the per-row key derivation).
+    The single definition of the contract that makes stochastic generation
+    batchable — shared by :class:`ModelManager`, the serving engine's
+    sharded ops, and AOT export."""
+
+    def gen(variables, seeds):
+        return jax.vmap(
+            lambda s: model.generate(
+                variables, jax.random.PRNGKey(s), 1, n_obs=n_obs, method=method
+            )[0]
+        )(seeds)
+
+    return gen
+
+
 def slerp(t, z1, z2):
     """Spherical interpolation between latent vectors
     (reference: model_manager.py interpolation modes)."""
@@ -120,16 +138,9 @@ class ModelManager:
         k = (int(n_obs), str(method))
         fn = self._gen_by_seed.get(k)
         if fn is None:
-            model = self.model
-
-            def gen(v, seeds_):
-                return jax.vmap(
-                    lambda s: model.generate(
-                        v, jax.random.PRNGKey(s), 1, n_obs=k[0], method=k[1]
-                    )[0]
-                )(seeds_)
-
-            fn = self._gen_by_seed.setdefault(k, jax.jit(gen))
+            fn = self._gen_by_seed.setdefault(
+                k, jax.jit(seeded_generate_fn(self.model, k[0], k[1]))
+            )
         return np.asarray(fn(self.variables, jnp.asarray(seeds, jnp.uint32)))
 
     def sample_latent(self, n: int, method: str = "geodesic", seed: int = 0) -> np.ndarray:

@@ -132,19 +132,12 @@ def make_sharded_ops(
     key = jax.device_put(jax.random.PRNGKey(0), replicated(mesh))
     model = manager.model
 
+    from rlvae_tpu.inference import seeded_generate_fn
+
     fwd = jax.jit(lambda v, x, k: model.forward(v, x, k).recon_x)
     enc = jax.jit(lambda v, x: model.encode(v, x)[0].embedding)
     dec = jax.jit(lambda v, z: model.decode(v, z)[0].reconstruction)
-
-    def gen_fn(v, seeds):
-        return jax.vmap(
-            lambda s: model.generate(
-                v, jax.random.PRNGKey(s), 1,
-                n_obs=generate_n_obs, method=generate_method,
-            )[0]
-        )(seeds)
-
-    gen = jax.jit(gen_fn)
+    gen = jax.jit(seeded_generate_fn(model, generate_n_obs, generate_method))
 
     def sharded(fn, dtype, *extra):
         def op(batch):
