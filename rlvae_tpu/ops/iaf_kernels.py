@@ -423,18 +423,24 @@ def _tile(b: int) -> Tuple[int, int]:
     return tb, _ceil_to(b, tb)
 
 
-@functools.lru_cache(maxsize=None)
 def get_fused_iaf(
     input_dim: int, hidden_size: int, n_blocks: int, n_hidden: int,
     interpret: bool | None = None, fp_iters: int = 0,
     adj_sweeps: int | None = None,
 ):
-    """Build (and cache) the fused custom-VJP IAF forward for a static shape.
+    """Build the fused custom-VJP IAF forward for a static shape.
 
     Returns f(params, x) -> (y, logdet) differentiable w.r.t. both, exactly
     matching :func:`rlvae_tpu.flows.iaf.iaf_forward` (density direction).
     One IAF is the chain kernel with a single transition — there is only one
-    kernel pair to maintain (see the whole-chain section below)."""
+    kernel pair to maintain (see the whole-chain section below).
+
+    Deliberately NOT lru_cached at this level: ``adj_sweeps=None`` must be
+    resolved against ``ADJ_SWEEPS_OVERRIDE`` on EVERY call (inside
+    :func:`get_fused_iaf_chain`, whose build layer is the cache) — a cache
+    keyed on the unresolved ``None`` would return a stale backward after an
+    A/B harness flips the override (the trace-time-gating gotcha,
+    CLAUDE.md)."""
     chain = get_fused_iaf_chain(
         input_dim, hidden_size, n_blocks, n_hidden, 1, interpret, fp_iters,
         adj_sweeps,

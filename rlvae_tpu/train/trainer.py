@@ -65,7 +65,10 @@ def _device_prefetch(batches, sharding, n_devices, depth: int = 2):
     for batch in batches:
         if batch.shape[0] % n_devices != 0:
             continue  # drop remainder for even sharding
-        queue.append(jax.device_put(jnp.asarray(batch), sharding))
+        # device_put on the HOST array places each shard directly on its
+        # device; jnp.asarray first would stage the full batch on device 0
+        # and then redistribute (an extra HBM stage + inter-device copy)
+        queue.append(jax.device_put(batch, sharding))
         if len(queue) >= depth:
             yield queue.popleft()
     while queue:
@@ -500,9 +503,17 @@ class Trainer:
         key = jax.random.PRNGKey(self.seed)
         start_epoch = 0
         opt_state = None
+        resume_best_val = float("inf")
+        resume_step = 0
         if resume and self.checkpoints.exists("last"):
             restored = self.checkpoints.restore("last")
             variables = restored["variables"]
+            # carry the running best-val and step across the preemption:
+            # otherwise the first resumed epoch (< inf) would overwrite the
+            # 'best' checkpoint with a worse model, and step-indexed metric
+            # records would restart at 0 and overlap the pre-resume ones
+            resume_best_val = float(restored.get("val_loss", float("inf")))
+            resume_step = int(restored.get("step", 0))
             # opt_state is stored as flat leaves; rebuild the optax NamedTuple
             # structure from a freshly initialized state's treedef
             if "opt_leaves" in restored:
@@ -530,8 +541,8 @@ class Trainer:
 
         from rlvae_tpu.utils.profiling import StepTimer, trace
 
-        best_val = float("inf")
-        step = 0
+        best_val = resume_best_val
+        step = resume_step
         stop = False
         t_start = time.time()
         timer = StepTimer()

@@ -453,6 +453,11 @@ def test_preemption_sigterm_checkpoints_and_resumes(tmp_path):
     assert result2["preempted"] is False
     assert result2["epochs_run"] == 4  # epochs 1..3 after resume
     assert np.isfinite(result2["best_val_loss"])
+    # the running best-val carries across the preemption: a resumed epoch
+    # can only improve it, never overwrite 'best' with a worse model
+    assert result2["best_val_loss"] <= result["best_val_loss"] + 1e-6
+    # and the global step counter continues instead of restarting at 0
+    assert result2["steps"] > result["steps"]
 
 
 def _fit_chunked(tmp_path, chunk_steps, tag):
