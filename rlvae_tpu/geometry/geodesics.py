@@ -281,6 +281,14 @@ def geodesic_interpolate(
         return energy_path(metric, z0, z1, n_points=n_points, **kwargs)
     if method == "shooting":
         v = log_map(metric, z0, z1, **kwargs)
-        _, path = exp_map(metric, z0, v, n_steps=n_points - 1, return_path=True)
-        return path
+        # replay AT LEAST as finely as the discretization log_map fit the
+        # velocity under (its n_steps default, 16) — a coarser replay would
+        # drift from z1 by the integration-error gap — and at a multiple of
+        # n_points-1 so exactly n_points samples (endpoints included) fall
+        # on integrator knots
+        fit_steps = int(kwargs.get("n_steps", 16))
+        seg = max(1, n_points - 1)
+        k = max(1, -(-fit_steps // seg))  # ceil(fit_steps / seg)
+        _, path = exp_map(metric, z0, v, n_steps=k * seg, return_path=True)
+        return path[::k]
     raise ValueError(f"unknown geodesic method {method!r}")

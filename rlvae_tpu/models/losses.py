@@ -96,6 +96,10 @@ def flow_loss(log_dets: Array, mode: str = "reference") -> Array:
     so it cannot drive runaway expansion (beyond-reference stabilization;
     conf/model/riemannian_flow_vae_stable.yaml).
     """
+    if mode not in ("reference", "volume"):
+        # fail loudly: a silent fall-through to the unbounded reference loss
+        # would reintroduce exactly the instability 'volume' exists to fix
+        raise ValueError(f"unknown flow_loss mode {mode!r} (reference|volume)")
     if log_dets.shape[1] == 0:
         return jnp.zeros(())
     if mode == "volume":

@@ -32,7 +32,7 @@ including the HMC gradient (which multiplies through M_k).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -149,16 +149,20 @@ def _partial_g_inv(c: Array, m: Array, inv_t2: Array, z: Array):
     return w, gi_part
 
 
-def _run_sharded(mesh: Mesh, fn, n_out: int, axis: str, batch_axis: Optional[str]):
+def _run_sharded(
+    mesh: Mesh, fn, out_trailing_ndims: Tuple[int, ...], axis: str,
+    batch_axis: Optional[str],
+):
     """shard_map a (c, m, t, lbd, z, axis) -> tuple function: bank leaves
     sharded along K over ``axis``, z and each output's leading dim over
-    ``batch_axis`` (or replicated)."""
+    ``batch_axis`` (or replicated).  ``out_trailing_ndims`` gives each
+    output's number of trailing (non-batch, locally-replicated) dims."""
     from jax.experimental.shard_map import shard_map
 
     z_spec = P(batch_axis) if batch_axis else P()
     # every output carries the batch as its leading dim; trailing dims local
     out_specs = tuple(
-        (P(batch_axis, *([None] * nd)) if batch_axis else P()) for nd in n_out
+        (P(batch_axis, *([None] * nd)) if batch_axis else P()) for nd in out_trailing_ndims
     )
 
     def run(metric: CentroidMetric, z: Array):

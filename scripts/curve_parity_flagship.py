@@ -25,7 +25,8 @@ Writes outputs/curve_parity_flagship/{curves.json, overlay.png, summary.json}.
 tests/test_curve_parity_flagship.py validates the committed artifact.
 
 Usage:
-    JAX_PLATFORMS=cpu python scripts/curve_parity_flagship.py [--epochs 20]
+    python scripts/curve_parity_flagship.py [--epochs 20]   # forces CPU
+    (pass --tpu to leave the jax arm on the default backend)
 """
 
 from __future__ import annotations
@@ -231,7 +232,18 @@ def main(argv=None):
     ap.add_argument("--out", default=str(ROOT / "outputs" / "curve_parity_flagship"))
     ap.add_argument("--skip-torch", action="store_true")
     ap.add_argument("--skip-jax", action="store_true")
+    ap.add_argument("--tpu", action="store_true",
+                    help="let the jax arm run on the default backend "
+                         "(default: force CPU so both arms share a numeric "
+                         "regime — f32, no bf16 MXU passes)")
     args = ap.parse_args(argv)
+
+    if not args.tpu:
+        # JAX_PLATFORMS is IGNORED on this host (sitecustomize pre-imports
+        # jax; CLAUDE.md) — jax.config is the only reliable switch
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from rlvae_tpu.data.synth import generate_cyclic_sequences
 
@@ -306,7 +318,9 @@ def main(argv=None):
                 y = np.asarray(h[c], np.float64)
                 if c in ("latent_norm", "latent_last_norm", "loss", "flow_loss"):
                     ax.set_yscale("symlog")
-                ax.plot(ep[: len(y)], y, style, label=name, ms=3)
+                # a cached curves.json may hold MORE epochs than --epochs
+                m = min(len(ep), len(y))
+                ax.plot(ep[:m], y[:m], style, label=name, ms=3)
             ax.set_title(c)
             ax.set_xlabel("epoch")
         axes[0].legend()

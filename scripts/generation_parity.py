@@ -40,7 +40,7 @@ MCMC_STEPS = 100
 N_LF = 15
 
 
-def torch_chain(metric, n_chains, seed, record_stats=True):
+def torch_chain(metric, n_chains, seed):
     """Batched torch HMC prior chain with pythae's own log-density/gradient
     static methods (rhvae_sampler.py:98-148 math; our loop)."""
     import torch
