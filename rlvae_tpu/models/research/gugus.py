@@ -246,16 +246,27 @@ class LVAE_GUGUS(LVAE_IAF):
         G'(z') = J^{-T} G J^{-1} with J = df/dz (lvaeg2_model.py:770-800;
         the reference's per-sample autograd loop is one vmap(jacfwd))."""
         flow = self._flow_params(params)[flow_idx]
+        fwd, bwd = (
+            (iaf_inverse, iaf_forward) if direction == "inverse"
+            else (iaf_forward, iaf_inverse)
+        )
 
         def f(single):
-            fn = iaf_inverse if direction == "inverse" else iaf_forward
-            out, _ = fn(flow, self.masks, single[None, :])
-            return out[0]
+            return fwd(flow, self.masks, single[None, :])[0][0]
 
-        jac = jax.vmap(jax.jacfwd(f))(z)  # [B, D, D]
+        def f_inv(single):
+            return bwd(flow, self.masks, single[None, :])[0][0]
+
         z_next = jax.vmap(f)(z)
-        j_inv = jnp.linalg.inv(jac)
-        g_next = jnp.einsum("bji,bjk,bkl->bil", j_inv, jnp.broadcast_to(g, jac.shape), j_inv)
+        # J^{-1} = d f^{-1}/dz' at z' = f(z) — exact (the flow directions are
+        # exact inverses), and avoids inverting batched [B,16,16] matrices
+        # (layout-poison tiny linalg on TPU, CLAUDE.md)
+        j_inv = jax.vmap(jax.jacfwd(f_inv))(z_next)  # [B, D, D]
+        g_next = jnp.einsum(
+            "bji,bjk,bkl->bil", j_inv,
+            jnp.broadcast_to(g, j_inv.shape), j_inv,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return z_next, g_next
 
     def metric_tensor_field(self, variables: Dict[str, Any], z: Array, t: int) -> Array:
@@ -311,8 +322,12 @@ class LVAE_GUGUS(LVAE_IAF):
             return jnp.broadcast_to(-0.5 * logdet, (z.shape[0],)) - 0.5 * jnp.sum(
                 (z - jnp.asarray(self.gm_list[0])) ** 2, axis=1
             )
-        g_inv = jnp.linalg.inv(g0)
-        quad = jnp.einsum("bi,ij,bj->b", z, g_inv, z)
+        from rlvae_tpu.ops.linalg import inv_psd_small
+
+        g_inv = inv_psd_small(g0[None])[0]  # G_0 is PSD; fp32 unrolled path
+        quad = jnp.einsum(
+            "bi,ij,bj->b", z, g_inv, z, precision=jax.lax.Precision.HIGHEST
+        )
         d = z.shape[1]
         return -0.5 * (logdet + quad + d * jnp.log(2.0 * jnp.pi))
 
@@ -338,9 +353,14 @@ class LVAE_GUGUS(LVAE_IAF):
         if self.use_hmc_visit0 and vi_index == 0 and self.g_list:
             from rlvae_tpu.samplers import HMCConfig, sample_prior_hmc
 
+            # chains START at the per-sample posterior means — the reference
+            # geometric-perspective convention hmc_sampling(self, mu, ...)
+            # (second arg = starting positions), so the draw stays
+            # conditioned on the input batch
             return sample_prior_hmc(
                 self._hmc_metric(0), key, mu.shape[0],
                 HMCConfig(mcmc_steps=self.hmc_visit0_steps, n_lf=15),
+                z0=mu,
             )
         return super().sample_visit_latent(params, key, mu, log_var, vi_index)
 
@@ -349,11 +369,16 @@ class LVAE_GUGUS(LVAE_IAF):
     def forward(self, variables, x, key, vi_index=None, epoch: int = 100,
                 train: bool = False, seq_mask=None, pix_mask=None):
         self._fwd_counter += 1
+        # the period counts EAGER forwards only: under research_cli's jitted
+        # train step the hook cannot fire per step (forward is traced once),
+        # but the CLI's per-epoch eval forward IS eager, so the period is
+        # effectively in epochs there; compare_metrics stays public for
+        # explicit trainer-level scheduling
         if (
             self.metric_eval_period > 0
             and self.g_list
             and self._fwd_counter % self.metric_eval_period == 0
-            and not isinstance(x, jax.core.Tracer)  # eager calls only
+            and not isinstance(x, jax.core.Tracer)
         ):
             self.compare_metrics(variables, x, t=0)
         return super().forward(variables, x, key, vi_index=vi_index, epoch=epoch,

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -164,18 +166,25 @@ def sample_prior_hmc(
     num_samples: int,
     config: HMCConfig = HMCConfig(),
     return_diagnostics: bool = False,
+    z0: Optional[Array] = None,
 ) -> Array:
     """HMC chain targeting pi(z) ~ sqrt(det G^{-1}(z)).
 
-    With ``return_diagnostics`` also returns {"accept_rate": mean accept
-    prob over the run, "log_pi": final per-chain log sqrt det G^{-1}} —
-    the chain statistics the generation-parity artifact compares against
-    the torch sampler (pythae rhvae_sampler.py:98-148)."""
+    ``z0`` gives explicit per-chain starting positions [num_samples, D]
+    (overriding ``config.init``) — e.g. posterior means, the
+    geometric-perspective ``hmc_sampling(model, mu, ...)`` convention the
+    GUGUS family uses.  With ``return_diagnostics`` also returns
+    {"accept_rate": mean accept prob over the run, "log_pi": final
+    per-chain log sqrt det G^{-1}} — the chain statistics the
+    generation-parity artifact compares against the torch sampler (pythae
+    rhvae_sampler.py:98-148)."""
     terms = _terms_fn(metric, config.backend)
     d = metric.latent_dim
 
     k_init, k_chain = jax.random.split(key)
-    if config.init == "centroids":
+    if z0 is not None:
+        z0 = jnp.asarray(z0, jnp.float32)
+    elif config.init == "centroids":
         idx = jax.random.randint(k_init, (num_samples,), 0, metric.n_centroids)
         z0 = metric.centroids[idx]
     else:

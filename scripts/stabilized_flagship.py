@@ -103,7 +103,7 @@ def main():
         "shared_metrics": {
             k: {"reference": ref_t.get(k), "stable": st_t.get(k)}
             for k in SHARED_KEYS
-            if k in ref_t
+            if k in ref_t and k in st_t  # both arms, or the :.6g format dies
         },
         "latent_norm_ratio_ref_over_stable": (
             ref_t["latent_norm"] / max(st_t["latent_norm"], 1e-12)

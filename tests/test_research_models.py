@@ -907,8 +907,13 @@ def test_gugus_variant_lvaega_hmc_visit0():
     z_hmc = m.sample_visit_latent(v["params"], jax.random.PRNGKey(1), mu, lv, 0)
     z_rep = m.sample_visit_latent(v["params"], jax.random.PRNGKey(1), mu, lv, 1)
     assert np.isfinite(np.asarray(z_hmc)).all()
-    # HMC ignores (mu, log_var); reparam is mu + sigma*eps — different draws
+    # the HMC draw differs from reparameterization (mu + sigma*eps)
     assert not np.allclose(np.asarray(z_hmc), np.asarray(z_rep))
+    # ...but stays CONDITIONED on mu: chains start at the posterior means
+    # (reference: hmc_sampling(self, mu, ...) — second arg = start positions)
+    mu2 = mu + 5.0
+    z_hmc2 = m.sample_visit_latent(v["params"], jax.random.PRNGKey(1), mu2, lv, 0)
+    assert not np.allclose(np.asarray(z_hmc), np.asarray(z_hmc2))
     # visit>0 falls back to reparameterization around mu
     assert np.abs(np.asarray(z_rep)).max() < 1.0
     out = m.forward(v, _batch(b=4, t=3, seed=4), jax.random.PRNGKey(2),
