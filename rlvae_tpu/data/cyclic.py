@@ -167,7 +167,8 @@ class CyclicDataModule:
         if not raw:
             return None
         p = Path(raw)
-        for cand in (p, p.with_suffix(".npz"), p.with_suffix(".pt")):
+        for cand in (p, p.with_suffix(".npz"), p.with_suffix(".npy"),
+                     p.with_suffix(".pt")):
             if cand.exists():
                 return cand
         return None
@@ -197,6 +198,9 @@ class CyclicDataModule:
         config (reference: cyclic_dataset.py:156-211)."""
         tc = dict(training_config or {})
         self.batch_size = int(tc.get("data", {}).get("batch_size", 8))
+        # a re-setup may change the dataset or batch size — the cached
+        # native loader captured both at build time, so drop it
+        self._native_loader = None
         n_train = tc.get("n_train_samples") or self.config.get("max_train_samples")
         n_val = tc.get("n_val_samples") or self.config.get("max_test_samples")
 

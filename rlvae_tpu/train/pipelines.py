@@ -62,11 +62,36 @@ def _data_module_from_arrays(
         train.shape[0],
     )
     if eval_data is None:
+        # the reference pipeline trains WITHOUT validation when eval_data is
+        # None; here early stopping / the 'best' checkpoint need a val set,
+        # so the head of the TRAINING data stands in — a leaky signal, so
+        # say so (pass a real eval_data to select on held-out loss)
+        print(
+            "[pipeline] eval_data is None: validating on the head of the "
+            "training data (leaky val_loss; 'best' selection favors fit)"
+        )
         eval_arr = train[: max(batch_size, train.shape[0] // 10)]
     else:
         eval_arr = np.asarray(eval_data, np.float32)
         if eval_arr.ndim == 4:
             eval_arr = eval_arr[:, None]
+        if eval_arr.ndim != 5 or eval_arr.shape[0] == 0:
+            raise ValueError(
+                "eval_data must be a non-empty [N,T,C,H,W] or [N,C,H,W] "
+                f"array; got {eval_arr.shape}"
+            )
+    # multi-host: each process keeps only its strided TRAIN shard (same
+    # slicing as CyclicDataModule.setup) — the sharded-epoch staging path
+    # uploads each host's local rows as disjoint pieces of the global array,
+    # so an unsharded assignment would duplicate every sequence per host.
+    # Eval stays host-replicated (same val_loss on every host).
+    import jax
+
+    pc = jax.process_count()
+    if pc > 1:
+        per_host = train.shape[0] // pc
+        train = train[jax.process_index() :: pc][:per_host]
+        batch_size = min(batch_size, max(1, train.shape[0]))
     if eval_arr.shape[0] < batch_size:
         # tile up to one full batch, or evaluation would yield zero batches
         # under drop-remainder static shapes (val_loss NaN -> the 'best'
@@ -126,10 +151,15 @@ class TrainingPipeline:
         if hasattr(self.model, "get_model_summary"):
             summary = dict(self.model.get_model_summary())
         (final_dir / "model_config.json").write_text(json.dumps(summary, default=str))
-        self.trainer.checkpoints.save(
-            "final", {"variables": result["variables"], "step": result["steps"]}
+        # final weights live IN final_model/ (the documented pythae-style
+        # layout: checkpoint + model_config.json side by side)
+        from rlvae_tpu.train.checkpoints import CheckpointManager
+
+        final_ckpt = CheckpointManager(final_dir)
+        final_ckpt.save(
+            "weights", {"variables": result["variables"], "step": result["steps"]}
         )
-        self.trainer.checkpoints.wait()
+        final_ckpt.wait()
         result["run_dir"] = str(run_dir)
         return result
 

@@ -34,6 +34,12 @@ def _sqrtm_psd(mat: np.ndarray, eps: float = 1e-12) -> np.ndarray:
 
 def compute_statistics(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """(mu [D], sigma [D, D]) of a [N, D] feature matrix."""
+    if features.shape[0] < 2:
+        # np.cov's ddof=1 divides by N-1: a single sample yields an all-NaN
+        # covariance and a silently meaningless Frechet distance downstream
+        raise ValueError(
+            f"need >= 2 samples for covariance statistics, got {features.shape[0]}"
+        )
     feats = np.asarray(features, np.float64).reshape(features.shape[0], -1)
     mu = feats.mean(axis=0)
     sigma = np.cov(feats, rowvar=False)

@@ -122,7 +122,8 @@ def test_training_pipeline_arrays(tmp_path):
     assert np.isfinite(result["best_val_loss"])
     run_dir = Path(result["run_dir"])
     assert (run_dir / "final_model" / "model_config.json").exists()
-    assert (run_dir / "checkpoints" / "final").exists()
+    # the documented layout: final weights live beside the config sidecar
+    assert (run_dir / "final_model" / "weights").exists()
 
 
 def test_generation_pipeline_normal():
@@ -186,3 +187,25 @@ def test_generation_pipeline_unknown_sampler():
     model = _tiny_model()
     with pytest.raises(NotImplementedError):
         GenerationPipeline(model, None, sampler="pixelcnn_nope")
+
+
+def test_pipeline_data_module_shards_per_process(monkeypatch):
+    """_data_module_from_arrays keeps only this process's strided train
+    shard (same slicing as CyclicDataModule.setup) — an unsharded
+    assignment would make the sharded-epoch staging upload every sequence
+    once PER HOST, silently duplicating the dataset.  Eval stays
+    host-replicated."""
+    from rlvae_tpu.train import pipelines as pl
+
+    data = np.arange(12 * 2 * 1 * 4 * 4, dtype=np.float32).reshape(12, 2, 1, 4, 4)
+    ev = data[:4]
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    shards = []
+    for pi in (0, 1):
+        monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+        dm = pl._data_module_from_arrays(data, ev, {"data": {"batch_size": 4}})
+        shards.append(np.asarray(dm.train.data))
+        np.testing.assert_array_equal(np.asarray(dm.val.data), ev)  # replicated
+    assert shards[0].shape[0] == shards[1].shape[0] == 6  # equal shards
+    np.testing.assert_array_equal(shards[0], data[0::2])
+    np.testing.assert_array_equal(shards[1], data[1::2])
