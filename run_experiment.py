@@ -216,9 +216,13 @@ class ExperimentRunner:
             for k in ("n_train_samples", "n_val_samples"):
                 if k in tov:
                     run_cfg.set(f"training.{k}", int(tov[k]))
+            if self.stop_event is not None and self.stop_event.is_set():
+                print(f"[rlvae] sweep cancelled before run {i}")
+                break
             sub = ExperimentRunner.__new__(ExperimentRunner)
             sub.config = run_cfg
             sub.progress_callback = self.progress_callback
+            sub.stop_event = self.stop_event  # __new__ bypasses __init__
             sub.run_dir = self.run_dir / f"run_{i}"
             sub.run_dir.mkdir(parents=True, exist_ok=True)
             save_config(run_cfg, sub.run_dir / "config.yaml")
