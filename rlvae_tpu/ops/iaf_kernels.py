@@ -418,6 +418,15 @@ def _stack_params(params: List[Dict[str, jax.Array]], masks, n_hidden: int):
     return w0, b0, wh, bh, wo, bo
 
 
+# Mosaic's default scoped-VMEM budget is 16 MiB; the chain BACKWARD's
+# per-grid-step working set (weight blocks + per-tile grad-partial output
+# blocks, each [NB, NH-1, H, H] ~ 2 MiB, double-buffered once the batch
+# spans multiple tiles) measures 17.9 MiB at TB=512 — 1.9 MiB over, so
+# B > 512 train steps failed to compile.  v5e has 128 MiB physical VMEM;
+# raise the scoped budget for the chain kernels only.
+_VMEM_BUDGET = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 def _tile(b: int) -> Tuple[int, int]:
     tb = 512 if b > 512 else _ceil_to(b, 8)
     return tb, _ceil_to(b, tb)
@@ -568,6 +577,7 @@ def _build_fused_iaf_chain(
                 jax.ShapeDtypeStruct((nt, nb, b_pad, d), jnp.float32),
             ],
             scratch_shapes=[pltpu.VMEM((tb, d), jnp.float32)],
+            compiler_params=_VMEM_BUDGET,
             interpret=interp,
         )(x_p, w0, b0, wh, bh, wo, bo)
         return z[:, :b], ld[:, :b, 0], (z, ys)
@@ -630,6 +640,7 @@ def _build_fused_iaf_chain(
                 jax.ShapeDtypeStruct((n_tiles, nt, nb, h, 2 * d), jnp.float32),
                 jax.ShapeDtypeStruct((n_tiles, nt, nb, 1, 2 * d), jnp.float32),
             ],
+            compiler_params=_VMEM_BUDGET,
             interpret=interp,
         )(x_p, z_all, ys, dz_p, dld_p, w0, b0, wh, bh, wo, bo)
         dx = outs[0]

@@ -242,6 +242,61 @@ def _bundle_kernel(
     g_ref[...] = _stack_cols(g_cols).T
 
 
+def _chol_bundle_kernel(
+    scal_ref, z_ref, c_ref, m_ref, l_ref, ld_ref, *, d, k_real, k_pad, tb
+):
+    """Output-pruned bundle: chol(G^{-1}) + logdet only (VERDICT r3 item 5).
+
+    The training hot path consumes ONLY the Cholesky factor (metric-aware
+    posterior, riemannian_flow_vae.py:953-1002, and the Riemannian KL's
+    triangular solve, riemannian_flow_vae.py:1004-1077) — the full bundle's
+    triangular inversion + G = X^T X reconstruction (~2/3 of the kernel's
+    post-factorization VPU work) and two of its three [D, D] HBM output
+    slabs are dead weight there.  logdet comes along for free (D logs of
+    the diagonal already in VMEM)."""
+    inv_t2, lbd = scal_ref[0, 0], scal_ref[0, 1]
+    w = _weights_slab(z_ref, c_ref, inv_t2, d, k_real, k_pad, tb)
+    gi_cols = _gi_cols(m_ref, w, lbd, d, tb)
+    l_cols = _chol_cols(gi_cols, d)
+    l_ref[...] = _stack_cols(l_cols).T
+    log_diag = sum(jnp.log(l_cols[j][j : j + 1, :]) for j in range(d))  # [1, TB]
+    ld_ref[...] = 2.0 * log_diag.T  # logdet G^{-1}, [TB, 1]
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "interpret"))
+def chol_bundle_pallas(
+    metric: CentroidMetric, z: jax.Array, tb: int | None = None,
+    interpret: bool | None = None,
+) -> ModelOutput:
+    """Fused (chol(G^{-1}), logdet G^{-1}) — the training hot path's pruned
+    bundle.  Skips the triangular inversion, G reconstruction, and the
+    G_inv/G HBM writes of :func:`metric_bundle_pallas`; use that one when G
+    itself is consumed (full KL, distances, viz grids)."""
+    b, d, k, k_pad, tb, b_pad, z_t, c_t, m_t = _prep(metric, z, tb)
+    interp = (not _on_tpu()) if interpret is None else interpret
+    l_jm, ld = pl.pallas_call(
+        functools.partial(_chol_bundle_kernel, d=d, k_real=k, k_pad=k_pad, tb=tb),
+        grid=(b_pad // tb,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((d, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, d * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+        ],
+        interpret=interp,
+    )(_scalars(metric), z_t, c_t, m_t)
+    chol = jnp.swapaxes(l_jm[:b].reshape(b, d, d), -1, -2)  # j-major -> lower-tri
+    return ModelOutput(chol_g_inv=chol, logdet_g_inv=ld[:b, 0])
+
+
 def _hmc_kernel(
     scal_ref, z_ref, c_ref, m_ref, m2_ref, logpi_ref, grad_ref, *, d, k_real, k_pad, tb
 ):
@@ -428,13 +483,15 @@ def metric_bundle_pallas(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def chol_g_inv_fused(metric: CentroidMetric, z: jax.Array, jitter: float = 0.0):
-    """L with L L^T = G^{-1}(z) + jitter*I — fused Pallas forward."""
+    """L with L L^T = G^{-1}(z) + jitter*I — fused Pallas forward (the
+    output-pruned chol-only kernel: the posterior/KL hot path never pays for
+    the triangular inversion or the G/G_inv HBM writes)."""
     m = (
         metric.replace(regularization=metric.regularization + jitter)
         if jitter
         else metric
     )
-    return metric_bundle_pallas(m, z).chol_g_inv
+    return chol_bundle_pallas(m, z).chol_g_inv
 
 
 def _chol_fwd(metric, z, jitter):

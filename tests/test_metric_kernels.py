@@ -75,6 +75,23 @@ def test_bundle_kernel(metric_and_z):
     assert np.allclose(np.triu(l, k=1), 0.0)
 
 
+def test_chol_bundle_kernel(metric_and_z):
+    """The output-pruned chol-only bundle (the training hot path's kernel)
+    matches the full bundle's chol/logdet outputs exactly — same in-kernel
+    math, only the dead outputs dropped."""
+    from rlvae_tpu.ops.metric_kernels import chol_bundle_pallas
+
+    metric, z = metric_and_z
+    full = metric_bundle_pallas(metric, z, interpret=True)
+    pruned = chol_bundle_pallas(metric, z, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(pruned.chol_g_inv), np.asarray(full.chol_g_inv)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pruned.logdet_g_inv), np.asarray(full.logdet_g_inv)
+    )
+
+
 def test_hmc_kernel(metric_and_z):
     metric, z = metric_and_z
     logpi, grad = hmc_terms_pallas(metric, z, interpret=True)
