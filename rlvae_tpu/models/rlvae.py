@@ -345,7 +345,16 @@ class RlVAE:
         self, key: Array, num_samples: int, method: str = "geodesic"
     ) -> Array:
         """Latent prior sampling (reference: riemannian_flow_vae.py:1312-1326);
-        method 'hmc'/'official' runs the full manifold HMC chain."""
+        method 'hmc'/'official' runs the full manifold HMC chain;
+        'adaptive' is the beyond-reference dual-averaging chain (~0.65
+        acceptance vs the official chain's ~4.7% on the real metric —
+        samplers/hmc.py:run_adaptive_prior_chain)."""
+        if method == "adaptive" and self.metric is not None:
+            from rlvae_tpu.samplers import sample_prior_hmc_adaptive
+
+            return sample_prior_hmc_adaptive(
+                self.metric, key, num_samples, HMCConfig(init="centroids")
+            )
         if method in ("hmc", "official") and self.metric is not None:
             cfg = HMCConfig(init="centroids" if method == "official" else "randn")
             return sample_prior_hmc(self.metric, key, num_samples, cfg)

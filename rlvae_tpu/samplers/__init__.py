@@ -3,6 +3,7 @@ from rlvae_tpu.samplers.hmc import (
     refine_for_training,
     sample_posterior_hmc,
     sample_prior_hmc,
+    sample_prior_hmc_adaptive,
     tempering,
 )
 from rlvae_tpu.samplers.generation import (
@@ -30,6 +31,7 @@ __all__ = [
     "PRIOR_METHODS",
     "HMCConfig",
     "sample_prior_hmc",
+    "sample_prior_hmc_adaptive",
     "sample_posterior_hmc",
     "refine_for_training",
     "tempering",

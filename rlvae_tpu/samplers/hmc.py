@@ -95,6 +95,7 @@ def run_prior_chain(
     unifs: Array,
     config: HMCConfig,
     mean_fn=jnp.mean,
+    collect_states: bool = False,
 ):
     """The prior-chain integrator on pre-drawn noise: returns
     ``(z, accept_rate, log_pi_final)``.
@@ -102,7 +103,10 @@ def run_prior_chain(
     ``terms(z) -> (log pi, grad log pi)`` is pluggable (dense, fused Pallas,
     or the centroid-sharded psum evaluator); ``mean_fn`` reduces the per-step
     accept mask to a rate (the sharded runner passes a pmean-composed
-    reduction so the diagnostic is the global rate)."""
+    reduction so the diagnostic is the global rate).  ``collect_states``
+    additionally returns the post-step state at every MCMC step
+    (``zs [S, B, D]``, for ESS measurement — scripts/bench_adaptive_hmc.py);
+    the chain itself is bit-identical either way."""
     beta_zero_sqrt = jnp.sqrt(jnp.asarray(config.beta_zero, jnp.float32))
     eps_lf = jnp.asarray(config.eps_lf, jnp.float32)
 
@@ -149,15 +153,18 @@ def run_prior_chain(
         z_new = jnp.where(mask, z, z0_s)
         logpi_new = jnp.where(accept, logpi, logpi0_s)
         g_new = jnp.where(mask, g, g0_s)
-        return (z_new, logpi_new, g_new, beta_sqrt_old), mean_fn(
-            accept.astype(jnp.float32)
-        )
+        rate = mean_fn(accept.astype(jnp.float32))
+        out = (rate, z_new) if collect_states else rate
+        return (z_new, logpi_new, g_new, beta_sqrt_old), out
 
     logpi0, grad0 = terms(z0)
-    (z, logpi_final, _, _), accept_rates = jax.lax.scan(
+    (z, logpi_final, _, _), ys = jax.lax.scan(
         mcmc_step, (z0, logpi0, -grad0, beta_zero_sqrt), (gammas, unifs)
     )
-    return z, jnp.mean(accept_rates), logpi_final
+    if collect_states:
+        accept_rates, zs = ys
+        return z, jnp.mean(accept_rates), logpi_final, zs
+    return z, jnp.mean(ys), logpi_final
 
 
 def sample_prior_hmc(
@@ -195,6 +202,160 @@ def sample_prior_hmc(
     if return_diagnostics:
         return z, {"accept_rate": accept_rate, "log_pi": logpi_final}
     return z
+
+
+def run_adaptive_prior_chain(
+    terms,
+    z0: Array,
+    gammas: Array,
+    unifs: Array,
+    config: HMCConfig,
+    target_accept: float = 0.65,
+    warmup: int = 50,
+    per_chain: bool = True,
+):
+    """Prior chain with dual-averaging step-size adaptation (beyond-reference:
+    the pythae chain runs a FIXED eps=0.03 and accepts ~4.7% of proposals on
+    the real metric — 95% of its leapfrog work is wasted; reference:
+    pythae rhvae_sampler_config.py:24-27, outputs/generation_parity/).
+
+    Nesterov dual averaging on log(eps) targeting ``target_accept`` (the
+    NUTS adaptation scheme, Hoffman & Gelman 2014 §3.2: gamma=0.05, t0=10,
+    kappa=0.75): the first ``warmup`` MCMC steps adapt, the remainder run at
+    the averaged frozen step size.  ``per_chain=True`` adapts an independent
+    eps per chain from that chain's own acceptance statistic — chains
+    started in differently-conditioned metric regions equilibrate to
+    different step sizes (a capability batched samplers usually forgo; free
+    here, the carry is just [B] instead of scalar).
+
+    No tempering: adaptation replaces it (the chain is a plain HMC kernel,
+    exactly the ``beta_zero=1`` degenerate case of the reference's scheme
+    where tempering is the identity).
+
+    Returns ``(zs [S, B, D] — the post-step state at every MCMC step,
+    diagnostics)``; slice ``zs[warmup:]`` for post-warmup draws (ESS,
+    generation)."""
+    eps0 = jnp.asarray(config.eps_lf, jnp.float32)
+    n_chains = z0.shape[0]
+    stat_shape = (n_chains,) if per_chain else ()
+    mu_da = jnp.log(10.0 * eps0)
+    gamma_da, t0_da, kappa_da = 0.05, 10.0, 0.75
+
+    def leapfrog_step(carry, _):
+        z, rho, g, eps = carry
+        rho_half = rho - (eps / 2.0) * g
+        z = z + eps * rho_half
+        _, grad = terms(z)
+        g = -grad
+        rho = rho_half - (eps / 2.0) * g
+        return (z, rho, g, eps), None
+
+    def mcmc_step(carry, noise):
+        z0_s, logpi0_s, g0_s, x, x_bar, h_bar = carry
+        gamma, accept_u, t = noise
+        eps = jnp.exp(jnp.where(t < warmup, x, x_bar))
+        eps_col = eps[:, None] if per_chain else eps
+        rho = gamma
+        h0 = -logpi0_s + 0.5 * jnp.sum(rho**2, axis=1)
+
+        (z, rho, g, _), _ = jax.lax.scan(
+            leapfrog_step, (z0_s, rho, g0_s, eps_col), None, length=config.n_lf
+        )
+
+        logpi, _ = terms(z)
+        h = -logpi + 0.5 * jnp.sum(rho**2, axis=1)
+        # acceptance PROBABILITY (not just the binary outcome) drives the
+        # adaptation; nan energies (diverged trajectories) count as 0
+        alpha = jnp.exp(jnp.minimum(h0 - h, 0.0))
+        alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
+        accept = accept_u < alpha
+        mask = accept[:, None]
+        z_new = jnp.where(mask, z, z0_s)
+        logpi_new = jnp.where(accept, logpi, logpi0_s)
+        g_new = jnp.where(mask, g, g0_s)
+
+        # dual averaging (frozen after warmup)
+        stat = alpha if per_chain else jnp.mean(alpha)
+        t1 = t + 1.0
+        h_bar_new = (1.0 - 1.0 / (t1 + t0_da)) * h_bar + (
+            target_accept - stat
+        ) / (t1 + t0_da)
+        x_new = mu_da - jnp.sqrt(t1) / gamma_da * h_bar_new
+        eta = t1**-kappa_da
+        x_bar_new = eta * x_new + (1.0 - eta) * x_bar
+        adapting = t < warmup
+        x = jnp.where(adapting, x_new, x)
+        x_bar = jnp.where(adapting, x_bar_new, x_bar)
+        h_bar = jnp.where(adapting, h_bar_new, h_bar)
+        return (z_new, logpi_new, g_new, x, x_bar, h_bar), (
+            z_new,
+            jnp.mean(accept.astype(jnp.float32)),
+            jnp.mean(alpha),
+        )
+
+    logpi0, grad0 = terms(z0)
+    steps = jnp.arange(gammas.shape[0], dtype=jnp.float32)
+    init = (
+        z0,
+        logpi0,
+        -grad0,
+        jnp.full(stat_shape, jnp.log(eps0)),
+        jnp.full(stat_shape, jnp.log(eps0)),
+        jnp.zeros(stat_shape),
+    )
+    (z, logpi_final, _, _, x_bar, _), (zs, accept_rates, alphas) = jax.lax.scan(
+        mcmc_step, init, (gammas, unifs, steps)
+    )
+    diagnostics = {
+        "accept_rate": jnp.mean(accept_rates[warmup:]),
+        "accept_prob_mean": jnp.mean(alphas[warmup:]),
+        "eps_final": jnp.exp(x_bar),
+        "log_pi": logpi_final,
+    }
+    return zs, diagnostics
+
+
+def sample_prior_hmc_adaptive(
+    metric: CentroidMetric,
+    key: Array,
+    num_samples: int,
+    config: HMCConfig = HMCConfig(),
+    target_accept: float = 0.65,
+    warmup: Optional[int] = None,
+    per_chain: bool = True,
+    return_chain: bool = False,
+    z0: Optional[Array] = None,
+):
+    """Adaptive-HMC prior sampling (``method="adaptive"``) — same target
+    pi(z) ~ sqrt(det G^{-1}(z)) as :func:`sample_prior_hmc`, with the step
+    size tuned by dual averaging instead of the reference's fixed eps=0.03.
+    The parity-exact official chain is untouched.
+
+    Returns final samples [num_samples, D]; with ``return_chain`` returns
+    ``(zs [S, B, D], diagnostics)`` for ESS measurement
+    (scripts/bench_adaptive_hmc.py)."""
+    terms = _terms_fn(metric, config.backend)
+    d = metric.latent_dim
+    if warmup is None:
+        warmup = config.mcmc_steps // 2
+
+    k_init, k_chain = jax.random.split(key)
+    if z0 is not None:
+        z0 = jnp.asarray(z0, jnp.float32)
+    elif config.init == "centroids":
+        idx = jax.random.randint(k_init, (num_samples,), 0, metric.n_centroids)
+        z0 = metric.centroids[idx]
+    else:
+        z0 = jax.random.normal(k_init, (num_samples, d))
+
+    gammas, unifs = draw_chain_noise(k_chain, config.mcmc_steps, num_samples, d)
+    zs, diagnostics = run_adaptive_prior_chain(
+        terms, z0, gammas, unifs, config,
+        target_accept=target_accept, warmup=warmup, per_chain=per_chain,
+    )
+    if return_chain:
+        return zs, diagnostics
+    return zs[-1]
 
 
 def sample_posterior_hmc(

