@@ -24,7 +24,8 @@ def convert_dataset(src: str | Path, dst: str | Path) -> tuple:
     """Convert a [N, T, C, H, W] tensor .pt dataset to .npz."""
     data = _torch_load(src)
     if isinstance(data, dict):
-        data = next(iter(data.values()))
+        # real Sprites artifacts wrap the tensor in {'data': ...}
+        data = data["data"] if "data" in data else next(iter(data.values()))
     arr = data.detach().cpu().numpy().astype(np.float32)
     dst = Path(dst)
     dst.parent.mkdir(parents=True, exist_ok=True)

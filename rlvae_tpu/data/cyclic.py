@@ -34,7 +34,7 @@ def _load_array(path: Path) -> np.ndarray:
 
         data = torch.load(path, map_location="cpu", weights_only=False)
         if isinstance(data, dict):
-            data = next(iter(data.values()))
+            data = data["data"] if "data" in data else next(iter(data.values()))
         return data.detach().cpu().numpy().astype(np.float32)
     if path.suffix == ".npy":
         return np.load(path).astype(np.float32)

@@ -28,7 +28,9 @@ def load_raw(path: Path) -> np.ndarray:
 
         data = torch.load(path, map_location="cpu", weights_only=False)
         if isinstance(data, dict):
-            data = next(iter(data.values()))
+            # the real Sprites_train.pt wraps the tensor in {'data': ...}
+            # (reference: scripts/extract_cyclic_sequences.py:35-39)
+            data = data["data"] if "data" in data else next(iter(data.values()))
         return data.detach().cpu().numpy()
     if path.suffix == ".npz":
         with np.load(path) as zf:

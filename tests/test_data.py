@@ -167,3 +167,62 @@ def test_convert_reference_artifacts_cli(tmp_path, reference_available):
         assert report["metric"]["n_centroids"] > 0
         v = report["metric"]["validation"]
         assert str(v.get("valid", v)).lower() not in ("false",), v
+
+
+def test_real_layout_pt_ingestion(tmp_path):
+    """Real-data readiness (round-3 VERDICT item 9): the full
+    extract -> convert -> DataModule chain on a .pt fixture byte-layout
+    identical to the real Sprites_train.pt (torch.save of
+    {'data': uint8 [N, T, H, W, C] in 0..255} — reference:
+    scripts/extract_cyclic_sequences.py:35-52), not just our own npz.
+    Skips if torch is unavailable."""
+    torch = pytest.importorskip("torch")
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(0)
+    n, t, h, w, c = 6, 8, 16, 16, 3
+    raw = rng.integers(0, 256, size=(n, t, h, w, c), dtype=np.uint8)
+    # make sequences 0, 2, 4 cyclic (first frame == last frame)
+    for i in (0, 2, 4):
+        raw[i, -1] = raw[i, 0]
+    pt_path = tmp_path / "Sprites_train.pt"
+    torch.save({"data": torch.as_tensor(raw)}, pt_path)
+
+    # 1. extraction CLI: cyclic filter + /255 + NHWC->NCHW
+    out_npz = tmp_path / "cyclic.npz"
+    root = Path(__file__).resolve().parents[1]
+    r = subprocess.run(
+        [sys.executable, str(root / "scripts" / "extract_cyclic_sequences.py"),
+         str(pt_path), str(out_npz)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    with np.load(out_npz) as zf:
+        seqs = zf["sequences"]
+    assert seqs.shape == (3, t, c, h, w)
+    assert seqs.dtype == np.float32
+    assert 0.0 <= seqs.min() and seqs.max() <= 1.0
+    np.testing.assert_allclose(seqs[0, 0], raw[0, 0].transpose(2, 0, 1) / 255.0)
+    meta = np.load(tmp_path / "cyclic_metadata.npz")
+    assert int(meta["n_cyclic"]) == 3 and int(meta["n_raw"]) == n
+
+    # 2. dataset converter on the same real-layout dict artifact
+    from rlvae_tpu.data.convert import convert_dataset
+
+    shape = convert_dataset(pt_path, tmp_path / "converted.npz")
+    assert tuple(shape) == (n, t, h, w, c)  # raw passthrough, no reshaping
+
+    # 3. DataModule consumes the extracted file end-to-end
+    dm = CyclicDataModule({
+        "train_path": str(out_npz), "test_path": str(out_npz),
+        "sequence_length": t, "image_size": [h, w], "channels": c,
+        "synthetic_fallback": False, "verify_cyclicity": True,
+        "cyclicity_threshold": 0.01,
+    })
+    dm.setup({"data": {"batch_size": 1}})
+    assert len(dm.train) == 3
+    batch = next(iter(dm.train_batches()))
+    assert batch.shape == (1, t, c, h, w)
+    rep = dm.train.cyclicity_report
+    assert rep is None or rep.get("n_cyclic", 3) == 3
