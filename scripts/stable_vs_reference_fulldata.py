@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""Stable-preset end-quality evidence at full_data scale (VERDICT r3 item 3).
+
+The stable preset (conf/model/riemannian_flow_vae_stable.yaml) bounds the
+flagship objective's latent explosion at quick scale
+(outputs/stabilized_flagship/: latent_norm 8.9 vs 1.3e12) — this script
+proves "bounded AND at least as good" at the reference's production scale
+(reference: conf/training/full_data.yaml:9,24,62 — 50 epochs, 5000
+sequences, batch 8):
+
+  arm "reference":  model=riemannian_flow_vae        (parity objective)
+  arm "stable":     model=riemannian_flow_vae_stable (volume flow loss,
+                    near-identity init, sampling-direction temporal map)
+
+Each arm trains through the whole-epoch compiled path, then generates from
+the OFFICIAL RHVAE prior chain (100x15 tempered leapfrog, centroid starts —
+pythae rhvae_sampler.py:98-148) and decodes with its own best checkpoint.
+Reported per arm:
+
+- final/best validation loss components (shared terms only — total losses
+  are not comparable across objectives), test recon / cyclicity / latent
+  stats,
+- generation FID against held-out data frames, in pixel space and in the
+  FIXED pretrained-encoder feature space (arm-independent featurizer,
+  utils/fid.py).
+
+Writes outputs/stable_vs_reference_fulldata/{<arm>/, results.json,
+SUMMARY.md}; tests/test_stable_fulldata.py gates the committed artifact.
+
+Usage: python scripts/stable_vs_reference_fulldata.py
+           [--epochs 50] [--seqs 5000] [--gen-n 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO_ROOT))
+
+from rlvae_tpu.config import compose  # noqa: E402
+
+OUT = REPO_ROOT / "outputs" / "stable_vs_reference_fulldata"
+
+ARMS = {
+    "reference": "riemannian_flow_vae",
+    "stable": "riemannian_flow_vae_stable",
+}
+
+SHARED_KEYS = (
+    "recon_loss", "kld_loss", "cyclicity_error",
+    "latent_norm", "latent_variance", "metric_determinant",
+)
+
+
+def run_arm(name: str, model_group: str, epochs: int, seqs: int) -> dict:
+    from run_experiment import ExperimentRunner
+
+    run_dir = OUT / name
+    cfg = compose(
+        REPO_ROOT / "conf",
+        overrides=[
+            f"model={model_group}",
+            "training=full_data",
+            "visualization=minimal",
+            f"training.trainer.max_epochs={epochs}",
+            f"training.n_train_samples={seqs}",
+            f"data.synthetic_n_train={seqs}",
+            "data.synthetic_n_test=1000",
+            f"run.dir={run_dir}",
+            f"experiment_name=fulldata_{name}",
+        ],
+    )
+    runner = ExperimentRunner(cfg)
+    result = runner.run_single_experiment()
+    test = {k: float(v) for k, v in result["test_metrics"].items()}
+    return {
+        "test": test,
+        "best_val_loss": float(result.get("best_val_loss", float("nan"))),
+        "epochs_run": result["epochs_run"],
+        "train_time_s": float(result.get("train_time", float("nan"))),
+    }
+
+
+def generation_fid(name: str, gen_n: int, data_frames: np.ndarray) -> dict:
+    """Official prior chain -> this arm's best decoder -> FID vs real
+    frames, pixel + fixed-pretrained-encoder feature spaces."""
+    import jax
+    import jax.numpy as jnp
+
+    from rlvae_tpu.inference import ModelManager
+    from rlvae_tpu.models import RlVAE
+    from rlvae_tpu.utils.fid import encoder_features, fid_score, pixel_features
+
+    mm = ModelManager.from_run(OUT / name)
+    z = mm.model.sample_riemannian_prior(
+        jax.random.PRNGKey(0), gen_n, method="official"
+    )
+    x_gen = np.asarray(mm.decode(np.asarray(z)))
+
+    # arm-independent featurizer: the repo's FIXED pretrained encoder
+    feat_model = RlVAE(
+        input_dim=(3, 64, 64), latent_dim=16, n_flows=0,
+        posterior_type="gaussian", sampling_method="standard",
+        use_riemannian=False,
+        encoder_config={"dtype": "float32"}, decoder_config={"dtype": "float32"},
+    )
+    fv = feat_model.init(jax.random.PRNGKey(1))
+    fv = feat_model.load_pretrained_components(
+        fv, encoder_path=REPO_ROOT / "data" / "pretrained" / "encoder.npz"
+    )
+
+    def enc(x):
+        out, _ = feat_model.encode(fv, jnp.asarray(x))
+        return np.asarray(out.embedding)
+
+    return {
+        "pixel_fid_vs_data": float(
+            fid_score(pixel_features(data_frames), pixel_features(x_gen))
+        ),
+        "encoder_fid_vs_data": float(
+            fid_score(encoder_features(enc, data_frames),
+                      encoder_features(enc, x_gen))
+        ),
+        "gen_latent_norm_mean": float(np.linalg.norm(np.asarray(z), axis=1).mean()),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--seqs", type=int, default=5000)
+    ap.add_argument("--gen-n", type=int, default=256)
+    args = ap.parse_args()
+
+    OUT.mkdir(parents=True, exist_ok=True)
+    results = {}
+    for arm, group in ARMS.items():
+        print(f"[fulldata] training arm '{arm}' (model={group}, "
+              f"{args.epochs} epochs, {args.seqs} seqs)", flush=True)
+        results[arm] = run_arm(arm, group, args.epochs, args.seqs)
+        print(f"[fulldata] arm '{arm}': {results[arm]['test'].get('recon_loss')}"
+              f" recon, {results[arm]['epochs_run']} epochs,"
+              f" {results[arm]['train_time_s']:.0f}s", flush=True)
+
+    # held-out frames for the FID target: deterministic synthetic test set,
+    # same generator/seed the runs' val/test splits use
+    from rlvae_tpu.data.synth import generate_cyclic_sequences
+
+    test_seqs = generate_cyclic_sequences(128, n_obs=8, image_size=(64, 64),
+                                          channels=3, seed=1)
+    data_frames = test_seqs.reshape(-1, 3, 64, 64)[: 2 * args.gen_n]
+
+    for arm in ARMS:
+        print(f"[fulldata] generation FID for arm '{arm}'", flush=True)
+        results[arm]["generation"] = generation_fid(arm, args.gen_n, data_frames)
+
+    ref, st = results["reference"], results["stable"]
+    try:
+        commit = subprocess.run(
+            ["git", "-C", str(REPO_ROOT), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    summary = {
+        "generated_at_commit": commit,
+        "scale": {"epochs": args.epochs, "n_train_samples": args.seqs,
+                  "batch_size": 8, "gen_n": args.gen_n},
+        "shared_metrics": {
+            k: {"reference": ref["test"].get(k), "stable": st["test"].get(k)}
+            for k in SHARED_KEYS
+            if k in ref["test"] and k in st["test"]
+        },
+        "generation": {
+            "reference": ref["generation"], "stable": st["generation"],
+        },
+        "latent_norm_ratio_ref_over_stable": (
+            ref["test"]["latent_norm"] / max(st["test"]["latent_norm"], 1e-12)
+        ),
+    }
+    (OUT / "results.json").write_text(
+        json.dumps({**summary, "arms": results}, indent=2)
+    )
+
+    lines = [
+        f"# Stable vs reference objective at full_data scale "
+        f"({args.epochs} epochs / {args.seqs} seqs / B=8)",
+        "",
+        "| metric (test, best-val ckpt) | reference objective | stable preset |",
+        "|---|---|---|",
+    ]
+    for k, v in summary["shared_metrics"].items():
+        lines.append(f"| {k} | {v['reference']:.6g} | {v['stable']:.6g} |")
+    for k in ("pixel_fid_vs_data", "encoder_fid_vs_data", "gen_latent_norm_mean"):
+        lines.append(
+            f"| generation {k} | {ref['generation'][k]:.6g} "
+            f"| {st['generation'][k]:.6g} |"
+        )
+    lines += [
+        "",
+        "Generation: official RHVAE prior chain (100x15, centroid starts) ->",
+        "each arm's best decoder; FID vs held-out synthetic frames in pixel",
+        "space and the fixed pretrained-encoder feature space.",
+        "Total losses are NOT compared (different objectives).",
+    ]
+    (OUT / "SUMMARY.md").write_text("\n".join(lines) + "\n")
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
