@@ -36,12 +36,31 @@ class CheckpointManager:
             )
         import orbax.checkpoint as ocp
 
+        # host-0-only writes: save() early-returns on other processes, so
+        # Orbax must NOT run its default all-process barrier — with the
+        # default options process 0's save blocks forever inside
+        # sync_global_processes waiting for processes that never call save
+        # (found as a live distributed deadlock on the real 2-process Gloo
+        # cluster, scripts/multihost_verify.py).  active_processes={0}
+        # scopes every Orbax barrier to the one process that actually saves.
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # non-primary processes never save (gate below) and only read:
+            # a plain sync checkpointer, constructed without the subset
+            # options (Orbax refuses active_processes sets that exclude the
+            # constructing process)
+            self._ckptr = ocp.PyTreeCheckpointer()
+            return
+        kw = {}
+        if jax.process_count() > 1:
+            kw["multiprocessing_options"] = ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0}
+            )
         # async saves overlap checkpoint IO with the next epochs; wait_until
         # points are before restore and at manager teardown
         if use_async:
-            self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+            self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler(), **kw)
         else:
-            self._ckptr = ocp.PyTreeCheckpointer()
+            self._ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler(), **kw)
 
     def save(self, slot: str, state: Dict[str, Any]) -> None:
         if jax.process_index() != 0:  # host-0-only writes (multi-host ready)

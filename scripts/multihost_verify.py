@@ -130,6 +130,11 @@ def run_child(pid: int):
     from rlvae_tpu.train import make_epoch_fn_sharded, make_train_step
 
     assert jax.process_count() == 2 and jax.device_count() == 8
+
+    def stage(msg):
+        print(f"[child {pid}] {msg}", file=sys.stderr, flush=True)
+
+    stage("cluster up")
     model, variables, optimizer, batch = _build(jax)
     mesh = Mesh(np.asarray(jax.devices()).reshape(8, 1), ("data", "model"))
 
@@ -143,6 +148,7 @@ def run_child(pid: int):
     step = make_train_step(model, optimizer)
     v, o, m = step(v, o, b, jax.random.PRNGKey(1))
     step_out = {"loss": float(m["loss"]), "checksum": _checksum(jax, v["params"])}
+    stage("DP step done")
 
     # -- full trainer staging path: whole-epoch compiled, 2 epochs ---------
     model2, variables2, optimizer2, _ = _build(jax)
@@ -160,10 +166,19 @@ def run_child(pid: int):
         perm = epoch_perm(mesh, 7, epoch, n_steps, local_bs, shard_len)
         v2, o2, stacked = epoch_fn(v2, o2, data, perm, jax.random.PRNGKey(epoch))
         epoch_losses.extend(np.asarray(jax.device_get(stacked["loss"])).tolist())
+    stage("sharded epochs done")
     # -- centroid-sharded (EP) metric path across the REAL process split --
     # bank over the model axis of a 4x2 mesh: process 0's devices hold half
     # of each K-shard pair, so the fused psum crosses the Gloo boundary
     ep_out = _run_ep_segment(jax)
+    stage("EP segment done")
+
+    # -- chunked sharded epoch, multi-host (round-3 VERDICT item 6): the
+    # full Trainer path with epoch_jit_chunk_steps staging per-process
+    # chunk columns via make_array_from_process_local_data must match the
+    # resident sharded epoch bit-for-bit on this real 2-process cluster --
+    chunked_out = _run_trainer_chunked_segment(jax, pid)
+    stage("trainer chunked segment done")
 
     out = {
         "process": pid,
@@ -171,8 +186,60 @@ def run_child(pid: int):
         "epoch_losses": epoch_losses,
         "epoch_checksum": _checksum(jax, v2["params"]),
         "ep": ep_out,
+        "chunked": chunked_out,
     }
     print(json.dumps({"child": out}), flush=True)
+
+
+def _run_trainer_chunked_segment(jax, pid: int):
+    """Two full Trainer fits on the live cluster — resident sharded epoch vs
+    chunk_steps=1 — returning their loss histories for cross-arm and
+    cross-process comparison."""
+    import tempfile
+
+    from rlvae_tpu.data.cyclic import CyclicDataModule
+    from rlvae_tpu.models import RlVAE
+    from rlvae_tpu.train.trainer import Trainer
+
+    data_cfg = {
+        "sequence_length": 4,
+        "image_size": [8, 8],
+        "channels": 3,
+        "synthetic_fallback": True,
+        "synthetic_n_train": 16,
+        "synthetic_n_test": 8,
+    }
+
+    def fit(chunk_steps, tag):
+        model = RlVAE(
+            input_dim=(3, 8, 8), latent_dim=8, n_flows=0,
+            posterior_type="gaussian", sampling_method="standard",
+            use_riemannian=False,
+        )
+        cfg = {
+            "trainer": {"max_epochs": 2, "devices": 8, "log_every_n_steps": 2,
+                        **({"epoch_jit_chunk_steps": chunk_steps}
+                           if chunk_steps else {})},
+            "data": {"batch_size": 8, **data_cfg},
+            "optimizer": {"lr": 1e-3, "weight_decay": 0.0},
+            "n_train_samples": 16,
+            "n_val_samples": 8,
+        }
+        dm = CyclicDataModule(data_cfg)
+        dm.setup(cfg)
+        t = Trainer(model, dm, cfg,
+                    run_dir=Path(tempfile.mkdtemp(prefix=f"mhchunk_{tag}_")),
+                    seed=5)
+        assert t.n_devices == 8 and t.epoch_jit
+        assert t.chunk_steps == chunk_steps
+        r = t.fit()
+        return [m["train/loss"] for m in r["history"] if "train/loss" in m]
+
+    print(f"[child {pid}] trainer resident fit...", file=sys.stderr, flush=True)
+    resident = fit(0, f"res{pid}")
+    print(f"[child {pid}] trainer chunked fit...", file=sys.stderr, flush=True)
+    chunked = fit(1, f"chk{pid}")
+    return {"resident_losses": resident, "chunked_losses": chunked}
 
 
 def _ep_bank_and_z(np):
@@ -239,14 +306,33 @@ def main():
         [sys.executable, __file__, "--single"], capture_output=True, text=True,
         env=env, timeout=600,
     )
+    # children write to FILES, not pipes: draining child 0's pipe first
+    # while child 1 fills its 64 KiB pipe buffer blocks child 1's writes,
+    # which stalls every cross-process collective -> distributed deadlock
+    import tempfile
+
+    logdir = Path(tempfile.mkdtemp(prefix="mh_verify_"))
+    logs = [(logdir / f"child{i}.out", logdir / f"child{i}.err") for i in range(2)]
+    handles = [(o.open("w"), e.open("w")) for o, e in logs]
     procs = [
         subprocess.Popen(
             [sys.executable, __file__, "--child", str(i)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+            stdout=handles[i][0], stderr=handles[i][1], text=True, env=env,
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=900) for p in procs]
+    try:
+        for p in procs:
+            p.wait(timeout=1800)
+    except subprocess.TimeoutExpired:
+        for p in procs:  # don't leak the Gloo children on timeout
+            p.kill()
+        raise
+    finally:
+        for o, e in handles:
+            o.close()
+            e.close()
+    outs = [(o.read_text(), e.read_text()) for o, e in logs]
 
     def last_json(text, key):
         for line in reversed(text.strip().splitlines()):
@@ -277,6 +363,12 @@ def main():
     for key in ("logpi_sum", "grad_abs_sum", "chain_abs_sum", "accept_rate"):
         a, b = c0["ep"][key], s["ep"][key]
         assert abs(a - b) <= 1e-4 * max(1.0, abs(b)), (key, a, b)
+    # 4. chunked sharded epoch == resident sharded epoch on the real
+    #    2-process cluster, and both processes agree (VERDICT r3 item 6)
+    assert c0["chunked"] == c1["chunked"], (c0["chunked"], c1["chunked"])
+    ch = c0["chunked"]
+    assert ch["resident_losses"] and ch["resident_losses"] == ch["chunked_losses"]
+    assert all(np.isfinite(v) for v in ch["chunked_losses"])
 
     summary = {
         "cluster": {"processes": 2, "local_devices": 4, "global_devices": 8,
@@ -291,6 +383,9 @@ def main():
             "EP metric path (hmc_terms_sharded + sample_prior_hmc_sharded) "
             "over a 4x2 mesh whose model-axis psum crosses the process "
             "boundary matches the dense single-process values",
+            "chunked sharded epoch (epoch_jit_chunk_steps=1, per-process "
+            "chunk staging) trains bit-identically to the resident sharded "
+            "epoch through the full Trainer on the 2-process cluster",
         ],
     }
     out_dir = ROOT / "outputs" / "multihost_verify"
