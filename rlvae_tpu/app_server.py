@@ -13,8 +13,9 @@ Capabilities matched:
   behavior, experiment_runner.py:32,394),
 - model inference: reconstructions + prior generations from any trained run
   through the jitted ModelManager,
-- latent exploration: PCA or dependency-free t-SNE scatter with decoded
-  hover images (utils/tsne.py; UMAP is uninstallable here),
+- latent exploration: PCA, dependency-free t-SNE, or dependency-free
+  UMAP scatter with decoded hover images (utils/tsne.py, utils/umap_lite.py
+  — the reference page's full PCA/t-SNE/UMAP triple),
 - model comparison: final metrics table across runs,
 - visualization gallery: artifacts written by the viz suite, served inline.
 """
@@ -347,7 +348,7 @@ API('/api/runs').then(runs => {
 API('/api/runs').then(runs => {
   const opts = runs.filter(r => r.has_checkpoint).map(r => `<option>${r.name}</option>`).join('');
   app.innerHTML = `<h2>Latent exploration</h2><select id="run">${opts}</select>
-  <select id="method"><option value="pca">PCA</option><option value="tsne">t-SNE</option></select>
+  <select id="method"><option value="pca">PCA</option><option value="tsne">t-SNE</option><option value="umap">UMAP</option></select>
   <button id="go">Explore</button>
   <div style="display:flex;gap:20px"><svg id="plot" width="600" height="520" style="border:1px solid #aaa"></svg>
   <div><img id="img" class="frame" style="width:160px;height:160px"><p id="info"></p></div></div>`;
@@ -555,10 +556,16 @@ def make_handler(state: AppState):
                 method = q.get("method", ["pca"])[0]
                 if method == "tsne":
                     # dependency-free t-SNE (reference page offers
-                    # PCA/t-SNE/UMAP; umap-learn is uninstallable here)
+                    # PCA/t-SNE/UMAP, app/components/sidebar.py:109-115)
                     from rlvae_tpu.utils.tsne import tsne
 
                     proj = tsne(flat, perplexity=8.0, n_iter=300, seed=seed)
+                elif method == "umap":
+                    # dependency-free UMAP (utils/umap_lite.py — umap-learn
+                    # is uninstallable here; same algorithm, numpy)
+                    from rlvae_tpu.utils.umap_lite import umap
+
+                    proj = umap(flat, n_neighbors=10, n_epochs=150, seed=seed)
                 else:
                     mean = flat.mean(0)
                     _, _, vt = np.linalg.svd(flat - mean, full_matrices=False)

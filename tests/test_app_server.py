@@ -101,6 +101,9 @@ def test_threaded_training_with_live_progress_and_inference(server):
     lat = _get_json(port, f"/api/model/{run_name}/latents")
     assert len(lat["points"]) > 0
     assert {"x", "y", "seq", "t", "img"} <= set(lat["points"][0])
+    # the full reference embedding triple: PCA (default above), t-SNE, UMAP
+    lat_u = _get_json(port, f"/api/model/{run_name}/latents?method=umap")
+    assert len(lat_u["points"]) == len(lat["points"])
     info = _get_json(port, f"/api/model/{run_name}/info")
     assert info["architecture"]["latent_dim"] == 16
 

@@ -98,3 +98,45 @@ def test_tsne_degenerate_inputs():
     assert tsne(np.zeros((2, 4))).shape == (2, 2)  # n <= n_components
     y = tsne(np.ones((8, 4)), n_iter=50)  # all-identical points: finite
     assert np.isfinite(y).all()
+
+
+def test_umap_lite_separates_clusters():
+    """Dependency-free UMAP (utils/umap_lite.py): two well-separated
+    Gaussian clusters in 16-D stay separated in the 2-D embedding — closes
+    the reference app's PCA/t-SNE/UMAP latent-exploration triple
+    (app/components/sidebar.py:109-115; umap-learn is uninstallable here)."""
+    import numpy as np
+
+    from rlvae_tpu.utils.umap_lite import umap
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(20, 16)) * 0.1
+    b = rng.normal(size=(20, 16)) * 0.1 + 4.0
+    y = umap(np.concatenate([a, b]), n_neighbors=8, n_epochs=150, seed=1)
+    assert y.shape == (40, 2) and np.isfinite(y).all()
+    ca, cb = y[:20].mean(0), y[20:].mean(0)
+    spread = max(y[:20].std(), y[20:].std())
+    assert np.linalg.norm(ca - cb) > 2.0 * spread
+    # neighborhoods preserved: every point's nearest embedded neighbor is a
+    # same-cluster point
+    d2 = ((y[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    nn = d2.argmin(1)
+    labels = np.repeat([0, 1], 20)
+    assert (labels[nn] == labels).mean() > 0.9
+
+
+def test_umap_lite_determinism_and_degenerate_inputs():
+    import numpy as np
+
+    from rlvae_tpu.utils.umap_lite import umap
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(30, 8))
+    y1 = umap(x, n_epochs=50, seed=3)
+    y2 = umap(x, n_epochs=50, seed=3)
+    np.testing.assert_array_equal(y1, y2)  # seeded: bit-deterministic
+
+    assert umap(np.zeros((3, 4))).shape == (3, 2)  # n <= n_components + 1
+    y = umap(np.ones((10, 4)), n_epochs=30)  # identical points: finite
+    assert np.isfinite(y).all()
