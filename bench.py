@@ -204,21 +204,22 @@ def main():
     train_ms = step_ms[64]
 
     # --- stable preset step (sampling-direction temporal map, its default:
-    # conf/model/riemannian_flow_vae_stable.yaml) ------------------------------
-    stable_ms = measure_train_step(
-        metric, batch=64, reps=20,
-        flow_direction="sampling", flow_loss_mode="volume",
-        flow_log_var_bias_init=0.0,
-    )
-    stable_flops_seq = train_step_flops_per_seq(
-        (3, 64, 64), 16, 8, 256, 2, 3, direction="sampling"
-    )
-    stable_mfu = 100.0 * 64 * stable_flops_seq / (stable_ms / 1e3) / V5E_PEAK_BF16_FLOPS
-    log(
-        f"stable-preset train step B=64 (sampling-direction flows): "
-        f"{stable_ms:.2f} ms ({train_ms / stable_ms:.2f}x the density step; "
-        f"{stable_mfu:.2f}% MFU of its own 16x-smaller flow-flop model)"
-    )
+    # conf/model/riemannian_flow_vae_stable.yaml).  B=64 is dispatch-floor
+    # territory (both presets ride the same ~ms axon floor there, the ratio
+    # is noise); B=512 is where the 16x flow-flop cut is visible -------------
+    stable_ms = {}
+    for b, reps in ((64, 20), (512, 10)):
+        stable_ms[b] = measure_train_step(
+            metric, batch=b, reps=reps,
+            flow_direction="sampling", flow_loss_mode="volume",
+            flow_log_var_bias_init=0.0,
+        )
+        log(
+            f"stable-preset train step B={b} (sampling-direction flows): "
+            f"{stable_ms[b]:.2f} ms ({step_ms[b] / stable_ms[b]:.2f}x the "
+            f"density step at the same batch)"
+        )
+    stable_speedup = step_ms[512] / stable_ms[512]
 
     # --- quick-config epoch wall-clock (whole-epoch compiled training) -------
     # reference: ~10 min / 20 epochs on H100 => ~30 s/epoch
@@ -316,8 +317,9 @@ def main():
         "train_step_ms_b64_flagship": round(train_ms, 2),
         "train_step_ms_b512": round(step_ms[512], 2),
         "train_step_ms_b4096": round(step_ms[4096], 2),
-        "stable_step_ms_b64": round(stable_ms, 2),
-        "stable_vs_density_step_speedup": round(train_ms / stable_ms, 2),
+        "stable_step_ms_b64": round(stable_ms[64], 2),
+        "stable_step_ms_b512": round(stable_ms[512], 2),
+        "stable_vs_density_step_speedup_b512": round(stable_speedup, 2),
         "quick_epoch_seconds": round(epoch_s, 3),
         "quick_epoch_vs_h100": round(30.0 / epoch_s, 1),
         "epoch_b256_4096seqs_seconds": round(epoch_big_s, 3),
