@@ -346,13 +346,17 @@ class RlVAE:
     ) -> Array:
         """Latent prior sampling (reference: riemannian_flow_vae.py:1312-1326);
         method 'hmc'/'official' runs the full manifold HMC chain;
-        'adaptive' is the beyond-reference dual-averaging chain (~0.65
-        acceptance vs the official chain's ~4.7% on the real metric —
-        samplers/hmc.py:run_adaptive_prior_chain)."""
+        'adaptive' is the beyond-reference budgeted dual-averaging chain
+        (~0.65 acceptance vs the official chain's ~4.7% on the real metric,
+        path-length-preserving trajectories, equal leapfrog budget —
+        samplers/hmc.py:sample_prior_hmc_adaptive_budget; for repeated
+        high-throughput generation calibrate once with
+        calibrate_adaptive_plan + sample_prior_hmc_planned, see
+        outputs/adaptive_hmc/)."""
         if method == "adaptive" and self.metric is not None:
-            from rlvae_tpu.samplers import sample_prior_hmc_adaptive
+            from rlvae_tpu.samplers import sample_prior_hmc_adaptive_budget
 
-            return sample_prior_hmc_adaptive(
+            return sample_prior_hmc_adaptive_budget(
                 self.metric, key, num_samples, HMCConfig(init="centroids")
             )
         if method in ("hmc", "official") and self.metric is not None:

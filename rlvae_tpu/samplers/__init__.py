@@ -3,7 +3,10 @@ from rlvae_tpu.samplers.hmc import (
     refine_for_training,
     sample_posterior_hmc,
     sample_prior_hmc,
+    calibrate_adaptive_plan,
     sample_prior_hmc_adaptive,
+    sample_prior_hmc_adaptive_budget,
+    sample_prior_hmc_planned,
     tempering,
 )
 from rlvae_tpu.samplers.generation import (
@@ -31,7 +34,10 @@ __all__ = [
     "PRIOR_METHODS",
     "HMCConfig",
     "sample_prior_hmc",
+    "calibrate_adaptive_plan",
     "sample_prior_hmc_adaptive",
+    "sample_prior_hmc_adaptive_budget",
+    "sample_prior_hmc_planned",
     "sample_posterior_hmc",
     "refine_for_training",
     "tempering",

@@ -26,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from rlvae_tpu.geometry import metric as gm
@@ -213,6 +214,7 @@ def run_adaptive_prior_chain(
     target_accept: float = 0.65,
     warmup: int = 50,
     per_chain: bool = True,
+    eps_init=None,
 ):
     """Prior chain with dual-averaging step-size adaptation (beyond-reference:
     the pythae chain runs a FIXED eps=0.03 and accepts ~4.7% of proposals on
@@ -235,7 +237,11 @@ def run_adaptive_prior_chain(
     Returns ``(zs [S, B, D] — the post-step state at every MCMC step,
     diagnostics)``; slice ``zs[warmup:]`` for post-warmup draws (ESS,
     generation)."""
-    eps0 = jnp.asarray(config.eps_lf, jnp.float32)
+    # eps_init: optional warm-start step size(s) — scalar or per-chain [B]
+    # (a re-tuning stage at a new trajectory length starts from the previous
+    # stage's tuned eps; the dual-averaging shrinkage anchor mu follows it)
+    eps0 = jnp.asarray(config.eps_lf if eps_init is None else eps_init,
+                       jnp.float32)
     n_chains = z0.shape[0]
     stat_shape = (n_chains,) if per_chain else ()
     mu_da = jnp.log(10.0 * eps0)
@@ -299,20 +305,351 @@ def run_adaptive_prior_chain(
         z0,
         logpi0,
         -grad0,
-        jnp.full(stat_shape, jnp.log(eps0)),
-        jnp.full(stat_shape, jnp.log(eps0)),
+        jnp.broadcast_to(jnp.log(eps0), stat_shape),
+        jnp.broadcast_to(jnp.log(eps0), stat_shape),
         jnp.zeros(stat_shape),
     )
     (z, logpi_final, _, _, x_bar, _), (zs, accept_rates, alphas) = jax.lax.scan(
         mcmc_step, init, (gammas, unifs, steps)
     )
+    # an all-warmup run (warmup == mcmc_steps, how the calibration phases
+    # use this) has no post-warmup slice — report the tail half instead of
+    # a NaN mean-of-empty
+    cut = warmup if warmup < gammas.shape[0] else gammas.shape[0] // 2
     diagnostics = {
-        "accept_rate": jnp.mean(accept_rates[warmup:]),
-        "accept_prob_mean": jnp.mean(alphas[warmup:]),
+        "accept_rate": jnp.mean(accept_rates[cut:]),
+        "accept_prob_mean": jnp.mean(alphas[cut:]),
         "eps_final": jnp.exp(x_bar),
         "log_pi": logpi_final,
     }
     return zs, diagnostics
+
+
+def run_hmc_chain_fixed(
+    terms,
+    z0: Array,
+    gammas: Array,
+    unifs: Array,
+    eps: Array,
+    n_lf: int,
+    jitters: Optional[Array] = None,
+):
+    """Plain (untempered) HMC at FIXED per-chain step sizes — the sampling
+    phase of the budgeted adaptive sampler (:func:`
+    sample_prior_hmc_adaptive_budget`).  ``eps`` is [B] (one tuned step size
+    per chain, from the dual-averaging warmup); ``jitters`` [S, B] optionally
+    scales each step's eps (Neal 2011 §4.2: jittering the step size breaks
+    the periodic orbits an exactly-constant trajectory length can lock into).
+
+    Returns ``(zs [S, B, D], accept_rate, log_pi_final)``."""
+    eps = jnp.asarray(eps, jnp.float32)
+
+    def leapfrog_step(carry, _):
+        z, rho, g, e = carry
+        rho_half = rho - (e / 2.0) * g
+        z = z + e * rho_half
+        _, grad = terms(z)
+        g = -grad
+        rho = rho_half - (e / 2.0) * g
+        return (z, rho, g, e), None
+
+    def mcmc_step(carry, noise):
+        z0_s, logpi0_s, g0_s = carry
+        gamma, accept_u, jit_s = noise
+        e_col = (eps * jit_s)[:, None]
+        rho = gamma
+        h0 = -logpi0_s + 0.5 * jnp.sum(rho**2, axis=1)
+        (z, rho, g, _), _ = jax.lax.scan(
+            leapfrog_step, (z0_s, rho, g0_s, e_col), None, length=n_lf
+        )
+        logpi, _ = terms(z)
+        h = -logpi + 0.5 * jnp.sum(rho**2, axis=1)
+        alpha = jnp.exp(jnp.minimum(h0 - h, 0.0))
+        alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
+        accept = accept_u < alpha
+        mask = accept[:, None]
+        z_new = jnp.where(mask, z, z0_s)
+        logpi_new = jnp.where(accept, logpi, logpi0_s)
+        g_new = jnp.where(mask, g, g0_s)
+        return (z_new, logpi_new, g_new), (
+            z_new, jnp.mean(accept.astype(jnp.float32))
+        )
+
+    if jitters is None:
+        jitters = jnp.ones(gammas.shape[:2], jnp.float32)
+    logpi0, grad0 = terms(z0)
+    (z, logpi_final, _), (zs, rates) = jax.lax.scan(
+        mcmc_step, (z0, logpi0, -grad0), (gammas, unifs, jitters)
+    )
+    return zs, jnp.mean(rates), logpi_final
+
+
+# The budgeted adaptive sampler's plan constants — shared with the artifact
+# benchmark (scripts/bench_adaptive_hmc.py), which re-orchestrates the same
+# three phases under script-level jit for honest wall-clock measurement.
+ADAPTIVE_WARMUP_A = 40        # phase-A steps (rough eps, short trajectories)
+ADAPTIVE_NLF_A = 5            # phase-A trajectory length
+ADAPTIVE_TARGET_A = 0.75      # phase-A dual-averaging target
+ADAPTIVE_TARGET = 0.65        # phase-B/C acceptance target
+ADAPTIVE_EPS_JITTER = 0.2     # phase-C step-size jitter (Neal 2011 4.2)
+
+
+def adaptive_warmup_b_steps(warmup_a: int) -> int:
+    """Phase-B (re-tune at the sampling n_lf) step count."""
+    return max(8, warmup_a // 3)
+
+
+def sample_prior_hmc_adaptive_budget(
+    metric: CentroidMetric,
+    key: Array,
+    num_samples: int,
+    config: HMCConfig = HMCConfig(),
+    budget_lf: Optional[int] = None,
+    path_length: Optional[float] = None,
+    warmup: int = ADAPTIVE_WARMUP_A,
+    n_lf_warmup: int = ADAPTIVE_NLF_A,
+    warmup_target_accept: float = ADAPTIVE_TARGET_A,
+    n_lf_max: int = 128,
+    eps_jitter: float = ADAPTIVE_EPS_JITTER,
+    z0: Optional[Array] = None,
+    return_chain: bool = False,
+):
+    """Budgeted two-phase adaptive prior sampler: dual-averaging warmup at
+    SHORT trajectories, then a path-length-preserving sampling phase at the
+    tuned step size — all within a fixed total leapfrog budget.
+
+    The single-phase :func:`sample_prior_hmc_adaptive` keeps the reference's
+    n_lf=15 while eps tunes down ~4-8x on the real metric, silently
+    shrinking the trajectory length lambda = n_lf * eps from 0.45 to ~0.1 —
+    each step then explores far less than the official chain's (rare but
+    long) accepted moves, and measured ESS/budget LOSES to the mis-tuned
+    reference chain (the first outputs/adaptive_hmc/ run: ratio 0.28).  The
+    fix is the standard one (Hoffman & Gelman 2014 §3.2 end: "eps*L = lambda
+    fixed"): after warmup picks eps, the sampling phase runs
+    ``n_lf = round(lambda / median(eps))`` so trajectories keep the
+    reference's path length lambda = 15 * 0.03 = 0.45 while accepting ~65%
+    instead of ~4.7%.
+
+    Budget accounting (``budget_lf``, default ``config.mcmc_steps *
+    config.n_lf`` = the official chain's per-chain leapfrog count): warmup
+    spends ``warmup * n_lf_warmup`` integrations (short trajectories — eps
+    adaptation only needs the acceptance statistic, not exploration), the
+    sampling phase gets the remainder.  The n_lf choice is a host-side
+    decision between two jitted scans (one scalar median fetch) — n_lf must
+    be static under jit.
+
+    Returns final draws [num_samples, D]; with ``return_chain``, returns
+    ``(zs [steps_sampling, B, D] — ALL post-warmup, diagnostics)``."""
+    terms = _terms_fn(metric, config.backend)
+    d = metric.latent_dim
+    budget = int(budget_lf if budget_lf is not None
+                 else config.mcmc_steps * config.n_lf)
+    lam = float(path_length if path_length is not None
+                else config.n_lf * config.eps_lf)
+
+    k_init, k_w, k_s, k_j = jax.random.split(key, 4)
+    if z0 is not None:
+        z0 = jnp.asarray(z0, jnp.float32)
+    elif config.init == "centroids":
+        idx = jax.random.randint(k_init, (num_samples,), 0, metric.n_centroids)
+        z0 = metric.centroids[idx]
+    else:
+        z0 = jax.random.normal(k_init, (num_samples, d))
+
+    k_w2 = jax.random.fold_in(k_w, 1)
+
+    # phase A: rough per-chain eps at short trajectories (cheap statistics;
+    # only exists to pick the sampling n_lf — the eps it finds is NOT usable
+    # directly: on this density the tolerable eps SHRINKS with trajectory
+    # length, so an eps tuned at n_lf=5 accepts <10% at n_lf~35)
+    wcfg = config.replace(mcmc_steps=warmup, n_lf=n_lf_warmup)
+    g_w, u_w = draw_chain_noise(k_w, warmup, num_samples, d)
+    zs_w, diag_w = run_adaptive_prior_chain(
+        terms, z0, g_w, u_w, wcfg,
+        target_accept=warmup_target_accept, warmup=warmup, per_chain=True,
+    )
+    eps_a = diag_w["eps_final"]
+
+    # host-side static-shape decision: n_lf for the sampling phase
+    eps_med = float(jnp.median(eps_a))
+    n_lf_s = int(np.clip(round(lam / max(eps_med, 1e-6)), 2, n_lf_max))
+
+    # phase B: re-tune eps AT the sampling trajectory length (target 0.65),
+    # warm-started from phase A's per-chain eps
+    warm_b = adaptive_warmup_b_steps(warmup)
+    bcfg = config.replace(mcmc_steps=warm_b, n_lf=n_lf_s)
+    g_b, u_b = draw_chain_noise(k_w2, warm_b, num_samples, d)
+    zs_b, diag_b = run_adaptive_prior_chain(
+        terms, zs_w[-1], g_b, u_b, bcfg,
+        target_accept=ADAPTIVE_TARGET, warmup=warm_b, per_chain=True,
+        eps_init=eps_a,
+    )
+    eps = diag_b["eps_final"]
+
+    spent_warm = warmup * n_lf_warmup + warm_b * n_lf_s
+    steps_s = max(1, (budget - spent_warm) // n_lf_s)
+
+    # phase C: fixed tuned eps, reference path length, jittered
+    g_s, u_s = draw_chain_noise(k_s, steps_s, num_samples, d)
+    jitters = 1.0 + eps_jitter * (
+        2.0 * jax.random.uniform(k_j, (steps_s, num_samples)) - 1.0
+    )
+    zs, rate, logpi_final = run_hmc_chain_fixed(
+        terms, zs_b[-1], g_s, u_s, eps, n_lf_s, jitters
+    )
+    if return_chain:
+        diagnostics = {
+            "accept_rate": rate,
+            "eps_tuned": eps,
+            "warmup_accept_rate": diag_b["accept_rate"],
+            "n_lf_sampling": n_lf_s,
+            "steps_sampling": steps_s,
+            "leapfrog_spent": spent_warm + steps_s * n_lf_s,
+            "log_pi": logpi_final,
+        }
+        return zs, diagnostics
+    return zs[-1]
+
+
+def calibrate_adaptive_plan(
+    metric: CentroidMetric,
+    key: Array,
+    config: HMCConfig = HMCConfig(),
+    path_length: Optional[float] = None,
+    warmup: int = ADAPTIVE_WARMUP_A,
+    n_lf_warmup: int = ADAPTIVE_NLF_A,
+    n_lf_max: int = 128,
+    pool_size: Optional[int] = None,
+    spread_steps: int = 128,
+    eps_jitter: float = ADAPTIVE_EPS_JITTER,
+) -> dict:
+    """One-time per-metric calibration of the adaptive prior sampler: tunes
+    a PER-CENTROID step size (one warmup chain started at each of the K
+    centroids — the official sampler's own start set, pythae
+    rhvae_sampler.py:98) and the path-length-preserving trajectory length.
+
+    The returned plan makes generation a single compiled program with no
+    adaptation state (:func:`sample_prior_hmc_planned`): a chain started at
+    centroid i runs at ``plan["eps"][i]``.  Calibration cost (two short
+    adaptive scans over K chains) amortizes across every subsequent
+    generation call, exactly like a compile cache.
+
+    ``pool_size`` additionally builds a WARM START POOL: ``pool_size``
+    tuned chains run ``spread_steps`` one-time steps from uniform centroid
+    starts, and their final states are stored in the plan.  Tuned
+    trajectories are short (the well-conditioned eps is ~25x below the
+    official 0.03), so a cold chain needs ~100+ diffusive steps to reach
+    the quasi-equilibrium the long gold chain defines; the pool pays that
+    ONCE, making every later generation call a short continuation that
+    already matches gold-chain quality (measured: pixel/encoder Fréchet
+    0.71/0.50 vs the official chain's 0.62/0.49 and the gold seed-to-seed
+    floor 0.42/0.21 — outputs/adaptive_hmc/).  This is a persistent-chain
+    sampler state, the MCMC analogue of a compile cache.
+
+    Returns {"eps": [K], "n_lf": int, "accept_rate": float (phase-B
+    post-tune), "path_length": float, and with pool_size: "pool" [P, D],
+    "pool_eps" [P]}."""
+    terms = _terms_fn(metric, config.backend)
+    d = metric.latent_dim
+    lam = float(path_length if path_length is not None
+                else config.n_lf * config.eps_lf)
+    K = metric.n_centroids
+    k_a, k_b = jax.random.split(key)
+    z0 = metric.centroids
+
+    acfg = config.replace(mcmc_steps=warmup, n_lf=n_lf_warmup)
+    g_a, u_a = draw_chain_noise(k_a, warmup, K, d)
+    zs_a, diag_a = run_adaptive_prior_chain(
+        terms, z0, g_a, u_a, acfg,
+        target_accept=ADAPTIVE_TARGET_A, warmup=warmup, per_chain=True,
+    )
+    eps_a = diag_a["eps_final"]
+    eps_med = float(jnp.median(eps_a))
+    n_lf = int(np.clip(round(lam / max(eps_med, 1e-6)), 2, n_lf_max))
+
+    warm_b = adaptive_warmup_b_steps(warmup)
+    bcfg = config.replace(mcmc_steps=warm_b, n_lf=n_lf)
+    g_b, u_b = draw_chain_noise(k_b, warm_b, K, d)
+    _, diag_b = run_adaptive_prior_chain(
+        terms, zs_a[-1], g_b, u_b, bcfg,
+        target_accept=ADAPTIVE_TARGET, warmup=warm_b, per_chain=True,
+        eps_init=eps_a,
+    )
+    plan = {
+        "eps": diag_b["eps_final"],
+        "n_lf": n_lf,
+        "accept_rate": float(diag_b["accept_rate"]),
+        "path_length": lam,
+        "calibration_lf": K * (warmup * n_lf_warmup + warm_b * n_lf),
+        "chains": K,
+    }
+    if pool_size:
+        k_i, k_s, k_j = jax.random.split(jax.random.fold_in(key, 2), 3)
+        cidx = jax.random.randint(k_i, (pool_size,), 0, K)
+        eps_p = plan["eps"][cidx]
+        g_p, u_p = draw_chain_noise(k_s, spread_steps, pool_size, d)
+        jit_p = 1.0 + eps_jitter * (
+            2.0 * jax.random.uniform(k_j, (spread_steps, pool_size)) - 1.0)
+        zs_p, _, _ = run_hmc_chain_fixed(
+            terms, metric.centroids[cidx], g_p, u_p, eps_p, n_lf, jit_p)
+        plan["pool"] = zs_p[-1]
+        plan["pool_eps"] = eps_p
+        plan["calibration_lf"] += pool_size * spread_steps * n_lf
+    return plan
+
+
+def sample_prior_hmc_planned(
+    metric: CentroidMetric,
+    key: Array,
+    num_samples: int,
+    plan: dict,
+    steps: int = 12,
+    config: HMCConfig = HMCConfig(),
+    eps_jitter: float = ADAPTIVE_EPS_JITTER,
+    return_chain: bool = False,
+):
+    """Prior sampling from a calibrated plan (:func:`calibrate_adaptive_plan`)
+    — ONE compiled program, no adaptation state, no host syncs: start each
+    chain at a random centroid, run ``steps`` fixed-eps HMC steps at that
+    centroid's tuned step size and the plan's path-length-preserving n_lf.
+
+    With a warm start pool in the plan (``calibrate_adaptive_plan(...,
+    pool_size=...)``) chains continue from stored quasi-equilibrium states
+    instead of cold centroid starts — gold-chain sample quality at ~12
+    steps.  ``num_samples`` beyond the pool size reuses pool entries (with
+    replacement); heavily oversubscribed pools degrade cross-chain
+    independence, so size the pool to the expected generation batch.
+
+    This is the TPU operating point: ``num_samples`` is a free axis (the
+    fused terms kernel scales ~linearly to tens of thousands of chains), so
+    effective-samples/sec is set by how many tuned chains fit in the wall
+    budget rather than by one chain-set's mixing (the artifact benchmark
+    scripts/bench_adaptive_hmc.py publishes the measured curve)."""
+    terms = _terms_fn(metric, config.backend)
+    d = metric.latent_dim
+    k_init, k_s, k_j = jax.random.split(key, 3)
+    if "pool" in plan:
+        pool = jnp.asarray(plan["pool"], jnp.float32)
+        if num_samples <= pool.shape[0]:
+            idx = jax.random.permutation(k_init, pool.shape[0])[:num_samples]
+        else:
+            idx = jax.random.randint(k_init, (num_samples,), 0, pool.shape[0])
+        z0 = pool[idx]
+        eps = jnp.asarray(plan["pool_eps"], jnp.float32)[idx]
+    else:
+        idx = jax.random.randint(k_init, (num_samples,), 0, metric.n_centroids)
+        z0 = metric.centroids[idx]
+        eps = jnp.asarray(plan["eps"], jnp.float32)[idx]
+    g_s, u_s = draw_chain_noise(k_s, steps, num_samples, d)
+    jitters = 1.0 + eps_jitter * (
+        2.0 * jax.random.uniform(k_j, (steps, num_samples)) - 1.0
+    )
+    zs, rate, logpi_final = run_hmc_chain_fixed(
+        terms, z0, g_s, u_s, eps, int(plan["n_lf"]), jitters
+    )
+    if return_chain:
+        return zs, {"accept_rate": rate, "log_pi": logpi_final}
+    return zs[-1]
 
 
 def sample_prior_hmc_adaptive(

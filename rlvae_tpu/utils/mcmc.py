@@ -42,6 +42,15 @@ def ess_1d(x: np.ndarray) -> float:
     n = x.shape[0]
     if n < 4:
         return float(n)
+    # A frozen chain (zero accepted moves -> zero variance) is ONE effective
+    # sample, not n: _autocorr_fft returns all-zero rho for it, which the
+    # generic path below would turn into tau=1/n -> ESS=n — maximally wrong
+    # for a sampler diagnostic (a stuck chain would look perfect).  This
+    # exact case inflated the official 4.7%-accept chain's ESS in the first
+    # adaptive-HMC head-to-head run.
+    xc = x - x.mean()
+    if float(np.dot(xc, xc)) <= 1e-12 * n * max(1.0, float(np.dot(x, x)) / n):
+        return 1.0
     rho = _autocorr_fft(x)
     m_max = (n - 1) // 2
     gam = rho[0 : 2 * m_max : 2] + rho[1 : 2 * m_max : 2]
