@@ -66,6 +66,7 @@ def test_chol_sharded_parity(bank, zs):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow  # 60-90s each on the 1-core host (measured r4 --durations)
 def test_hmc_terms_sharded_parity(bank, zs):
     mesh = create_mesh(model_parallel=4)
     sharded = mp.shard_metric(mesh, bank)
@@ -96,6 +97,7 @@ def test_sharded_is_jittable_with_constant_collective_count(bank, zs):
     assert n_reduce == 1, f"expected ONE fused psum, saw {n_reduce} all-reduce ops"
 
 
+@pytest.mark.slow  # 60-90s each on the 1-core host (measured r4 --durations)
 def test_sharded_prior_chain_matches_dense(bank):
     """Distributed HMC generation must reproduce the dense sampler: same
     inits, bit-identical noise (shared draw_chain_noise derivation), terms
@@ -119,6 +121,7 @@ def test_sharded_prior_chain_matches_dense(bank):
     )
 
 
+@pytest.mark.slow  # 60-90s each on the 1-core host (measured r4 --durations)
 def test_sharded_prior_chain_randn_init(bank):
     from rlvae_tpu.samplers.hmc import HMCConfig, sample_prior_hmc
 
@@ -153,6 +156,7 @@ def test_pallas_partials_match_xla(bank, zs):
     np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_x), atol=1e-4)
 
 
+@pytest.mark.slow  # 60-90s each on the 1-core host (measured r4 --durations)
 def test_hmc_terms_sharded_pallas_backend(bank, zs):
     """backend='pallas' (interpret mode on CPU) inside shard_map reproduces
     the dense terms — the kernel composes with the EP decomposition."""
