@@ -158,8 +158,54 @@ class RHVAEGenerationSampler(BaseGenerationSampler):
         return sample_prior_hmc(self.metric, key, n, self.hmc)
 
 
+class AdaptiveRHVAEGenerationSampler(BaseGenerationSampler):
+    """Beyond-reference manifold sampler: dual-averaging calibration + warm
+    start pool (samplers/hmc.py:calibrate_adaptive_plan) paid once in
+    :meth:`fit`, then every :meth:`sample_latents` is one compiled
+    fixed-eps chain — 13x the official chain's effective-samples/sec at
+    equal wall-clock with Fréchet-vs-gold better than the official chain
+    (outputs/adaptive_hmc/summary.json).  The parity-exact ``rhvae``
+    sampler is untouched."""
+
+    name = "AdaptiveRHVAESampler"
+
+    def __init__(self, model, variables, metric=None,
+                 hmc_config: Optional[HMCConfig] = None,
+                 pool_size: int = 4096, gen_steps: int = 12,
+                 calibration_key: Optional[jax.Array] = None):
+        super().__init__(model, variables)
+        self.metric = metric if metric is not None else model.metric
+        if self.metric is None:
+            raise ValueError("RHVAE sampling requires a metric (load_pretrained_metric)")
+        self.hmc = hmc_config or HMCConfig(init="centroids")
+        self.pool_size = pool_size
+        self.gen_steps = gen_steps
+        self._cal_key = (calibration_key if calibration_key is not None
+                         else jax.random.PRNGKey(12))
+        self.plan: Optional[dict] = None
+
+    def fit(self, train_data=None, eval_data=None, training_config=None) -> None:
+        """Calibration IS this sampler's fit step (the pythae RHVAE sampler
+        uses fit() to train its HMC hyper-nets; here it tunes eps/n_lf and
+        spreads the warm pool — one-time, reused by every sample call)."""
+        from rlvae_tpu.samplers.hmc import calibrate_adaptive_plan
+
+        self.plan = calibrate_adaptive_plan(
+            self.metric, self._cal_key, self.hmc, pool_size=self.pool_size)
+
+    def sample_latents(self, key, n):
+        from rlvae_tpu.samplers.hmc import sample_prior_hmc_planned
+
+        if self.plan is None:
+            self.fit()
+        return sample_prior_hmc_planned(
+            self.metric, key, n, self.plan, steps=self.gen_steps,
+            config=self.hmc)
+
+
 SAMPLER_REGISTRY = {
     "normal": NormalSampler,
     "vamp": VampSampler,
     "rhvae": RHVAEGenerationSampler,
+    "rhvae_adaptive": AdaptiveRHVAEGenerationSampler,
 }

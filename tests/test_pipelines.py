@@ -183,6 +183,41 @@ def test_generation_pipeline_rhvae():
     assert np.all(np.isfinite(gen))
 
 
+def test_generation_pipeline_rhvae_adaptive():
+    """The beyond-reference 'rhvae_adaptive' registry entry: fit() pays
+    calibration + warm pool once, sample calls reuse the plan (samplers/
+    generation.py:AdaptiveRHVAEGenerationSampler; evidence
+    outputs/adaptive_hmc/)."""
+    from rlvae_tpu.samplers import AdaptiveRHVAEGenerationSampler, HMCConfig
+
+    metric = load_metric(DATA / "metric_T0.7_scaled.npz")
+    model = RlVAE(
+        input_dim=(3, 8, 8), latent_dim=16, n_flows=2, flow_hidden_size=16,
+        posterior_type="riemannian_metric", metric=metric,
+    )
+    variables = model.init(jax.random.PRNGKey(0), n_obs=4)
+    sampler = AdaptiveRHVAEGenerationSampler(
+        model, variables,
+        hmc_config=HMCConfig(mcmc_steps=8, n_lf=3, init="centroids",
+                             backend="xla"),
+        pool_size=32, gen_steps=3,
+    )
+    pipe = GenerationPipeline(model, variables, sampler=sampler)
+    gen = pipe(num_samples=4, batch_size=4)
+    assert gen.shape == (4, 3, 8, 8)
+    assert np.all(np.isfinite(gen))
+    # fit ran implicitly and produced a usable calibrated plan + pool
+    assert sampler.plan is not None
+    assert sampler.plan["pool"].shape == (32, 16)
+    assert float(np.min(np.asarray(sampler.plan["eps"]))) > 0
+    # plan reuse: same key reproduces, different key does not
+    z1 = np.asarray(sampler.sample_latents(jax.random.PRNGKey(3), 8))
+    z2 = np.asarray(sampler.sample_latents(jax.random.PRNGKey(3), 8))
+    z3 = np.asarray(sampler.sample_latents(jax.random.PRNGKey(4), 8))
+    np.testing.assert_array_equal(z1, z2)
+    assert not np.allclose(z1, z3)
+
+
 def test_generation_pipeline_unknown_sampler():
     model = _tiny_model()
     with pytest.raises(NotImplementedError):
