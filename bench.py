@@ -208,16 +208,25 @@ def main():
     # territory (both presets ride the same ~ms axon floor there, the ratio
     # is noise); B=512 is where the 16x flow-flop cut is visible -------------
     stable_ms = {}
-    for b, reps in ((64, 20), (512, 10)):
+    stable_mfu = {}
+    stable_flops_seq = train_step_flops_per_seq(
+        (3, 64, 64), 16, 8, 256, 2, 3, direction="sampling")
+    for b, reps in ((64, 20), (512, 10), (4096, 4)):
         stable_ms[b] = measure_train_step(
             metric, batch=b, reps=reps,
             flow_direction="sampling", flow_loss_mode="volume",
             flow_log_var_bias_init=0.0,
         )
+        # MFU against the stable preset's OWN flop count (one MADE pass per
+        # block, not density's D sequential passes) — useful work, honestly
+        # counted, for the preset's own program
+        stable_mfu[b] = (100.0 * b * stable_flops_seq
+                         / (stable_ms[b] / 1e3) / V5E_PEAK_BF16_FLOPS)
         log(
             f"stable-preset train step B={b} (sampling-direction flows): "
             f"{stable_ms[b]:.2f} ms ({step_ms[b] / stable_ms[b]:.2f}x the "
-            f"density step at the same batch)"
+            f"density step at the same batch) -> {stable_mfu[b]:.2f}% MFU "
+            f"of its own flop count"
         )
     stable_speedup = step_ms[512] / stable_ms[512]
 
@@ -294,7 +303,13 @@ def main():
         + f"; epoch-jit amortized {epoch_mfu:.2f}% — the density-direction "
         "IAF serializes D=16 MADE passes/transition (a parity-mandated "
         "recurrence; the stable preset's sampling direction removes it, "
-        "docs/ROADMAP.md)"
+        "docs/ROADMAP.md).  The ~11% large-batch plateau is structural for "
+        "BOTH presets (stable also measures ~11% of its own 16x-smaller "
+        "flop count): this model family's matmuls contract over tiny dims "
+        "(latent 16/32 vs the 128-lane MXU tile), so most tiles run "
+        "underfilled — the wall-clock win from cutting flops is real "
+        f"({step_ms[4096] / stable_ms[4096]:.2f}x at B=4096), the MFU "
+        "percentage cannot rise much past the tile-fill ratio."
     )
 
     result = {
@@ -319,6 +334,10 @@ def main():
         "train_step_ms_b4096": round(step_ms[4096], 2),
         "stable_step_ms_b64": round(stable_ms[64], 2),
         "stable_step_ms_b512": round(stable_ms[512], 2),
+        "stable_step_ms_b4096": round(stable_ms[4096], 2),
+        "stable_step_mfu_b4096_pct": round(stable_mfu[4096], 2),
+        "stable_vs_density_step_speedup_b4096": round(
+            step_ms[4096] / stable_ms[4096], 2),
         "stable_vs_density_step_speedup_b512": round(stable_speedup, 2),
         "quick_epoch_seconds": round(epoch_s, 3),
         "quick_epoch_vs_h100": round(30.0 / epoch_s, 1),
