@@ -172,6 +172,7 @@ class AdaptiveRHVAEGenerationSampler(BaseGenerationSampler):
     def __init__(self, model, variables, metric=None,
                  hmc_config: Optional[HMCConfig] = None,
                  pool_size: int = 4096, gen_steps: int = 12,
+                 persistent: bool = True,
                  calibration_key: Optional[jax.Array] = None):
         super().__init__(model, variables)
         self.metric = metric if metric is not None else model.metric
@@ -180,6 +181,11 @@ class AdaptiveRHVAEGenerationSampler(BaseGenerationSampler):
         self.hmc = hmc_config or HMCConfig(init="centroids")
         self.pool_size = pool_size
         self.gen_steps = gen_steps
+        # persistent-chain mode: each call's final states are scattered back
+        # into the pool, so the stored chains only ever get MORE converged
+        # with use (quality is monotone in total steps; reproducibility of a
+        # single call given the same key still holds for a fresh sampler)
+        self.persistent = persistent
         self._cal_key = (calibration_key if calibration_key is not None
                          else jax.random.PRNGKey(12))
         self.plan: Optional[dict] = None
@@ -198,9 +204,39 @@ class AdaptiveRHVAEGenerationSampler(BaseGenerationSampler):
 
         if self.plan is None:
             self.fit()
-        return sample_prior_hmc_planned(
-            self.metric, key, n, self.plan, steps=self.gen_steps,
-            config=self.hmc)
+        if not self.persistent:
+            return sample_prior_hmc_planned(
+                self.metric, key, n, self.plan, steps=self.gen_steps,
+                config=self.hmc)
+        # persistent mode: select the start subset here and run the fixed
+        # chain directly so each final state scatters back into ITS OWN
+        # pool slot (slot eps and state must stay paired — each slot's eps
+        # was tuned for the well its chain lives in)
+        from rlvae_tpu.samplers.hmc import (
+            ADAPTIVE_EPS_JITTER,
+            _terms_fn,
+            draw_chain_noise,
+            run_hmc_chain_fixed,
+        )
+
+        pool = jnp.asarray(self.plan["pool"], jnp.float32)
+        pool_eps = jnp.asarray(self.plan["pool_eps"], jnp.float32)
+        k_init, k_s, k_j = jax.random.split(key, 3)
+        if n <= pool.shape[0]:
+            idx = jax.random.permutation(k_init, pool.shape[0])[:n]
+        else:
+            idx = jax.random.randint(k_init, (n,), 0, pool.shape[0])
+        terms = _terms_fn(self.metric, self.hmc.backend)
+        g_s, u_s = draw_chain_noise(k_s, self.gen_steps, n,
+                                    self.metric.latent_dim)
+        jitters = 1.0 + ADAPTIVE_EPS_JITTER * (
+            2.0 * jax.random.uniform(k_j, (self.gen_steps, n)) - 1.0)
+        zs, _, _ = run_hmc_chain_fixed(
+            terms, pool[idx], g_s, u_s, pool_eps[idx],
+            int(self.plan["n_lf"]), jitters)
+        z = zs[-1]
+        self.plan["pool"] = pool.at[idx].set(z)
+        return z
 
 
 SAMPLER_REGISTRY = {

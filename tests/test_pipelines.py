@@ -196,11 +196,9 @@ def test_generation_pipeline_rhvae_adaptive():
         posterior_type="riemannian_metric", metric=metric,
     )
     variables = model.init(jax.random.PRNGKey(0), n_obs=4)
+    cfg = HMCConfig(mcmc_steps=8, n_lf=3, init="centroids", backend="xla")
     sampler = AdaptiveRHVAEGenerationSampler(
-        model, variables,
-        hmc_config=HMCConfig(mcmc_steps=8, n_lf=3, init="centroids",
-                             backend="xla"),
-        pool_size=32, gen_steps=3,
+        model, variables, hmc_config=cfg, pool_size=32, gen_steps=3,
     )
     pipe = GenerationPipeline(model, variables, sampler=sampler)
     gen = pipe(num_samples=4, batch_size=4)
@@ -210,10 +208,26 @@ def test_generation_pipeline_rhvae_adaptive():
     assert sampler.plan is not None
     assert sampler.plan["pool"].shape == (32, 16)
     assert float(np.min(np.asarray(sampler.plan["eps"]))) > 0
-    # plan reuse: same key reproduces, different key does not
-    z1 = np.asarray(sampler.sample_latents(jax.random.PRNGKey(3), 8))
-    z2 = np.asarray(sampler.sample_latents(jax.random.PRNGKey(3), 8))
-    z3 = np.asarray(sampler.sample_latents(jax.random.PRNGKey(4), 8))
+    # persistent mode (default): the sampled chains' final states scatter
+    # back into the pool — the stored chains get more converged with use
+    pool_before = np.asarray(sampler.plan["pool"]).copy()
+    z_p = np.asarray(sampler.sample_latents(jax.random.PRNGKey(3), 8))
+    pool_after = np.asarray(sampler.plan["pool"])
+    changed = np.any(pool_before != pool_after, axis=1)
+    # at most the 8 drawn slots moved (a slot may stay put if its short
+    # chain rejected every proposal), at least some moved, and every moved
+    # slot holds one of the returned draws
+    assert 1 <= changed.sum() <= 8
+    z_set = {tuple(r) for r in z_p}
+    assert all(tuple(r) in z_set for r in pool_after[changed])
+    # non-persistent sampler: same key reproduces, different key does not
+    frozen = AdaptiveRHVAEGenerationSampler(
+        model, variables, hmc_config=cfg, pool_size=32, gen_steps=3,
+        persistent=False,
+    )
+    z1 = np.asarray(frozen.sample_latents(jax.random.PRNGKey(3), 8))
+    z2 = np.asarray(frozen.sample_latents(jax.random.PRNGKey(3), 8))
+    z3 = np.asarray(frozen.sample_latents(jax.random.PRNGKey(4), 8))
     np.testing.assert_array_equal(z1, z2)
     assert not np.allclose(z1, z3)
 
