@@ -342,18 +342,27 @@ class RlVAE:
     # -- generation ----------------------------------------------------------
 
     def sample_riemannian_prior(
-        self, key: Array, num_samples: int, method: str = "geodesic"
+        self, key: Array, num_samples: int, method: str = "geodesic",
+        plan: Optional[dict] = None,
     ) -> Array:
         """Latent prior sampling (reference: riemannian_flow_vae.py:1312-1326);
         method 'hmc'/'official' runs the full manifold HMC chain;
         'adaptive' is the beyond-reference budgeted dual-averaging chain
         (~0.65 acceptance vs the official chain's ~4.7% on the real metric,
         path-length-preserving trajectories, equal leapfrog budget —
-        samplers/hmc.py:sample_prior_hmc_adaptive_budget; for repeated
-        high-throughput generation calibrate once with
-        calibrate_adaptive_plan + sample_prior_hmc_planned, see
-        outputs/adaptive_hmc/)."""
+        samplers/hmc.py:sample_prior_hmc_adaptive_budget).  With a ``plan``
+        from calibrate_adaptive_plan, 'adaptive' instead runs the calibrated
+        fixed-eps chain (sample_prior_hmc_planned) — fully jittable (the
+        plan's n_lf/eps/pool are trace-time constants), which is what lets
+        the serving engine batch adaptive generation (outputs/adaptive_hmc/)."""
         if method == "adaptive" and self.metric is not None:
+            if plan is not None:
+                from rlvae_tpu.samplers import sample_prior_hmc_planned
+
+                return sample_prior_hmc_planned(
+                    self.metric, key, num_samples, plan,
+                    config=HMCConfig(init="centroids"),
+                )
             from rlvae_tpu.samplers import sample_prior_hmc_adaptive_budget
 
             return sample_prior_hmc_adaptive_budget(
@@ -371,9 +380,10 @@ class RlVAE:
         num_samples: int,
         n_obs: int = 8,
         method: str = "geodesic",
+        plan: Optional[dict] = None,
     ) -> Array:
         """Sample prior latents, evolve through time, decode to sequences."""
-        z0 = self.sample_riemannian_prior(key, num_samples, method)
+        z0 = self.sample_riemannian_prior(key, num_samples, method, plan=plan)
         if self.n_flows > 0:
             z_seq, _ = apply_temporal_flows(self.flow_config, variables["params"]["flows"], z0, n_obs)
         else:

@@ -137,7 +137,11 @@ def make_sharded_ops(
     fwd = jax.jit(lambda v, x, k: model.forward(v, x, k).recon_x)
     enc = jax.jit(lambda v, x: model.encode(v, x)[0].embedding)
     dec = jax.jit(lambda v, z: model.decode(v, z)[0].reconstruction)
-    gen = jax.jit(seeded_generate_fn(model, generate_n_obs, generate_method))
+    # adaptive generation needs the calibrated plan to be jittable (the
+    # plan's eps/pool become trace-time constants — ModelManager caches it)
+    plan = manager.adaptive_plan() if generate_method == "adaptive" else None
+    gen = jax.jit(seeded_generate_fn(model, generate_n_obs, generate_method,
+                                     plan=plan))
 
     def sharded(fn, dtype, *extra):
         def op(batch):

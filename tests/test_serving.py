@@ -255,6 +255,50 @@ _TINY_CFG = {
 }
 
 
+def test_from_manager_generate_adaptive():
+    """Adaptive generation through the engine: the calibrated plan
+    (ModelManager.adaptive_plan, cached) makes method='adaptive' a single
+    jittable fixed-eps program, so the engine can batch it like any other
+    seeded generation — rows match the direct batched-seeds contract and
+    duplicate seeds give duplicate outputs."""
+    from pathlib import Path
+
+    from rlvae_tpu.geometry import load_metric
+    from rlvae_tpu.inference import ModelManager
+    from rlvae_tpu.models import RlVAE
+    from rlvae_tpu.samplers import HMCConfig
+
+    metric = load_metric(
+        Path(__file__).resolve().parents[1]
+        / "data" / "pretrained" / "metric_T0.7_scaled.npz")
+    model = RlVAE(
+        input_dim=(3, 8, 8), latent_dim=16, n_flows=2, flow_hidden_size=16,
+        posterior_type="riemannian_metric", metric=metric,
+    )
+    variables = model.init(jax.random.PRNGKey(0), n_obs=4)
+    mgr = ModelManager(model, variables)
+    # pre-warm a TINY calibrated plan (the production default is a
+    # 4096-chain pool — chip-scale work; the cache makes this the one used)
+    mgr.adaptive_plan(pool_size=16, config=HMCConfig(
+        mcmc_steps=8, n_lf=3, init="centroids", backend="xla"))
+    eng = BatchingEngine.from_manager(
+        mgr, ServeConfig(buckets=(1, 2, 4), max_wait_ms=200.0),
+        generate_n_obs=4, generate_method="adaptive",
+    )
+    try:
+        seeds = [7, 123, 7]
+        futs = [eng.submit("generate", np.uint32(s)) for s in seeds]
+        got = np.stack([np.asarray(f.result(timeout=300)) for f in futs])
+        assert got.shape == (3, 4, 3, 8, 8)
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got[0], got[2], rtol=0, atol=0)
+        want = mgr.sample_random_batched_seeds(seeds, method="adaptive",
+                                               n_obs=4)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    finally:
+        eng.stop()
+
+
 def test_sharded_ops_parity_8_devices():
     """DP serving: make_sharded_ops dispatches each batch SPMD over the
     8-device mesh and every row equals the single-device computation —
