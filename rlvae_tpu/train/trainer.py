@@ -449,6 +449,8 @@ class Trainer:
         else:
             self._epoch_fn = make_epoch_fn_sharded(model, self.optimizer, self.mesh)
         self._device_data = None
+        # per-split staged eval cache (trainer.evaluate) — device-resident
+        self._eval_staged = {}
         self._host_rows = None  # chunked sharded path keeps rows on host
         self.profile = bool(trainer_cfg.get("profile", False))
         self.history: list[Dict[str, float]] = []
@@ -903,6 +905,16 @@ class Trainer:
             full = [i for i, b in enumerate(batches) if b.shape[0] == size0]
             per_batch = set(range(len(batches))) - set(full)
             S = self.chunk_steps if self.chunk_steps > 0 else len(full)
+            # The split is static across epochs, so the staged device copy
+            # is cached per (split, chunk) after the first validation — the
+            # host->device upload of the whole split otherwise re-pays the
+            # transfer every epoch and DOMINATES per-epoch wall-clock when
+            # the link is slow (measured on the axon tunnel: 5.8 s warm val
+            # vs a 0.8 s compiled training epoch at full_data scale).  The
+            # larger-than-HBM chunked mode must NOT cache (eval would stage
+            # what training could not hold).
+            cache = (self._eval_staged.setdefault(split, {})
+                     if self.chunk_steps == 0 else None)
             for g0 in range(0, len(full), S):
                 grp = full[g0:g0 + S]
                 if len(grp) < S and g0 > 0:
@@ -910,9 +922,15 @@ class Trainer:
                     # compiling a second scan shape
                     per_batch.update(grp)
                     break
-                stacked = jax.device_put(
-                    np.stack([np.asarray(batches[i], np.float32) for i in grp])
-                )
+                if cache is not None and g0 in cache:
+                    stacked = cache[g0]
+                else:
+                    stacked = jax.device_put(
+                        np.stack([np.asarray(batches[i], np.float32)
+                                  for i in grp])
+                    )
+                    if cache is not None:
+                        cache[g0] = stacked
                 keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
                     jnp.asarray(grp, jnp.uint32)
                 )
