@@ -23,12 +23,23 @@ LOG_VAR_CLAMP = 10.0
 
 def reconstruction_loss(recon: Array, x: Array, loop_mode: str = "open") -> Array:
     """Per-frame MSE summed over frames/pixels, mean over batch; closed-loop
-    mode double-counts frame 0 (reference: riemannian_flow_vae.py:1192-1197)."""
+    mode double-counts frame 0 (reference: riemannian_flow_vae.py:1192-1197).
+
+    When the decoder emits bfloat16 reconstructions (the HBM-traffic knob,
+    nets `out_dtype`), the residual and square stay in bf16 — so the
+    backward's recon-sized cotangent is bf16 too, which is the whole point —
+    and only the pixel-sum accumulates in fp32 (the sum over ~1e5 pixels is
+    where bf16 would actually lose digits; the per-pixel residual rounding
+    is ~0.4% relative, far below minibatch gradient noise)."""
+    if recon.dtype == jnp.bfloat16:
+        x = x.astype(jnp.bfloat16)
     frame_losses = (recon - x) ** 2  # [B, T, ...]
     if loop_mode == "closed":
-        weights = jnp.ones(x.shape[1]).at[0].set(2.0)
+        weights = jnp.ones(x.shape[1], frame_losses.dtype).at[0].set(2.0)
         frame_losses = frame_losses * weights.reshape(1, -1, *([1] * (x.ndim - 2)))
-    return jnp.mean(jnp.sum(frame_losses.reshape(x.shape[0], -1), axis=1))
+    return jnp.mean(
+        jnp.sum(frame_losses.reshape(x.shape[0], -1), axis=1, dtype=jnp.float32)
+    )
 
 
 def standard_kl(mu: Array, log_var: Array) -> Array:

@@ -71,6 +71,9 @@ class CNNDecoder(nn.Module):
     stride: int = 2
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
+    # reconstruction dtype: fp32 default (parity); bfloat16 halves the
+    # recon-sized HBM traffic that binds the train step (nets/mlp.py docs)
+    out_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -110,7 +113,7 @@ class CNNDecoder(nn.Module):
             (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
             padding="SAME",
-            dtype=jnp.float32,
+            dtype=self.out_dtype,
             name="deconv_out",
         )(out)
         # NHWC -> NCHW; the reference CNN decoder has no output activation

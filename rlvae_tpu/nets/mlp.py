@@ -45,11 +45,21 @@ class MLPEncoder(nn.Module):
 
 
 class MLPDecoder(nn.Module):
+    """``out_dtype`` controls the RECONSTRUCTION dtype (default fp32 —
+    reference parity).  The recon tensor is the largest array the train step
+    touches ([B*T, C*H*W]; every fwd/bwd pass reads or writes it several
+    times), and the step is HBM-bandwidth-bound on TPU (measured:
+    scripts/profile_step_breakdown.py — XLA counts ~4e10 bytes/step at
+    B=4096, 49 ms at the 819 GB/s v5e roofline vs 7 ms of flops), so
+    ``out_dtype=bfloat16`` halves the binding traffic; the loss accumulates
+    in fp32 either way (models/losses.reconstruction_loss)."""
+
     input_dim: Tuple[int, ...]  # (C, H, W)
     latent_dim: int
     hidden_dims: Sequence[int] = (512,)
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
+    out_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z: jnp.ndarray, deterministic: bool = True) -> ModelOutput:
@@ -59,7 +69,7 @@ class MLPDecoder(nn.Module):
             out = nn.relu(out)
             if self.dropout > 0:
                 out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        out = nn.Dense(int(np.prod(self.input_dim)), dtype=jnp.float32, name="out")(out)
+        out = nn.Dense(int(np.prod(self.input_dim)), dtype=self.out_dtype, name="out")(out)
         recon = nn.sigmoid(out).reshape((z.shape[0], *self.input_dim))
         return ModelOutput(reconstruction=recon)
 

@@ -39,6 +39,13 @@ def _dtype(config: Optional[Mapping[str, Any]]) -> jnp.dtype:
     return _DTYPES[str(_get(config, "dtype", default="bfloat16")).lower()]
 
 
+def _out_dtype(config: Optional[Mapping[str, Any]]) -> jnp.dtype:
+    # reconstruction dtype (decoders only): fp32 default = reference parity;
+    # bfloat16 halves the recon-sized HBM traffic that binds the train step
+    # (see MLPDecoder docstring / scripts/profile_step_breakdown.py)
+    return _DTYPES[str(_get(config, "out_dtype", default="float32")).lower()]
+
+
 def create_encoder(
     input_dim: Tuple[int, ...],
     latent_dim: int,
@@ -94,6 +101,7 @@ def create_decoder(
             hidden_dims=tuple(_get(config, "hidden_dims", default=(512,))),
             dropout=float(_get(config, "dropout", default=0.0)),
             dtype=_dtype(config),
+            out_dtype=_out_dtype(config),
         )
     if arch == "cnn":
         return CNNDecoder(
@@ -104,6 +112,7 @@ def create_decoder(
             stride=int(_get(config, "stride", default=2)),
             dropout=float(_get(config, "dropout", default=0.1)),
             dtype=_dtype(config),
+            out_dtype=_out_dtype(config),
         )
     if arch == "resnet":
         return ResNetDecoder(

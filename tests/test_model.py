@@ -314,6 +314,47 @@ def test_stable_preset_composes():
     assert model.metric is not None  # same pretrained metric wiring
 
 
+def test_bf16_recon_dtype_option():
+    """HBM-traffic knob (nets `out_dtype: bfloat16`): the recon tensor — the
+    largest array the train step touches, and the step is HBM-bound on TPU
+    (scripts/profile_step_breakdown.py) — is emitted in bf16; the loss
+    accumulates in fp32 and must match the fp32 path to bf16 rounding.
+    Default (parity) stays fp32."""
+    m32 = RlVAE(
+        **SMALL, posterior_type="gaussian", sampling_method="standard",
+        use_riemannian=False,
+    )
+    m16 = RlVAE(
+        **SMALL, posterior_type="gaussian", sampling_method="standard",
+        use_riemannian=False, decoder_config={"out_dtype": "bfloat16"},
+    )
+    variables = m32.init(jax.random.PRNGKey(0))  # same params: out_dtype is
+    x = _batch()                                 # compute-dtype only
+    o32 = m32.forward(variables, x, jax.random.PRNGKey(1))
+    o16 = m16.forward(variables, x, jax.random.PRNGKey(1))
+    assert o32.recon_x.dtype == jnp.float32
+    assert o16.recon_x.dtype == jnp.bfloat16
+    l32, l16 = float(o32.recon_loss), float(o16.recon_loss)
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) / abs(l32) < 2e-2  # bf16 residual rounding only
+    # gradients flow and stay finite through the bf16 path
+    g = jax.grad(
+        lambda p: m16.forward(
+            dict(variables, params=p), x, jax.random.PRNGKey(1)
+        ).loss
+    )(variables["params"])
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(t, np.float32))) for t in flat)
+    # closed-loop weighting path also runs in bf16
+    m16c = RlVAE(
+        **SMALL, posterior_type="gaussian", sampling_method="standard",
+        use_riemannian=False, loop_mode="closed",
+        decoder_config={"out_dtype": "bfloat16"},
+    )
+    oc = m16c.forward(variables, x, jax.random.PRNGKey(1))
+    assert np.isfinite(float(oc.loss))
+
+
 def test_init_tolerates_missing_pretrained_files(capsys):
     """A config pointing at nonexistent pretrained artifacts must warn and
     train from scratch — the reference's loader degrades on ANY failure
