@@ -173,8 +173,9 @@ class GPVAE:
         xf = x_flat.reshape(b * t, -1)
         mf = pix_mask.reshape(b * t, -1)
         if self.reconstruction_loss == "bce":
+            # fp32 before the clip: bf16 rounds 1-1e-7 to exactly 1.0 -> log(0)
             e = 1e-7
-            r = jnp.clip(rf, e, 1 - e)
+            r = jnp.clip(rf.astype(jnp.float32), e, 1 - e)
             per_frame = jnp.sum(-(xf * jnp.log(r) + (1 - xf) * jnp.log(1 - r)) * mf, -1)
         else:
             per_frame = jnp.sum(0.5 * (rf - xf) ** 2 * mf, -1)

@@ -590,7 +590,8 @@ class LLDM:
         if self.reconstruction_loss == "mse":
             scale = 0.5 if half else 1.0
             return jnp.sum(scale * (recon_flat - x_flat) ** 2 * pix_flat, axis=-1)
-        r = jnp.clip(recon_flat, 1e-7, 1.0 - 1e-7)
+        # fp32 before the clip: bf16 rounds 1-1e-7 to exactly 1.0 -> log(0)
+        r = jnp.clip(recon_flat.astype(jnp.float32), 1e-7, 1.0 - 1e-7)
         bce = -(x_flat * jnp.log(r) + (1.0 - x_flat) * jnp.log(1.0 - r))
         return jnp.sum(bce * pix_flat, axis=-1)
 
@@ -992,7 +993,7 @@ class LLDM:
                     lp = (-0.5 * jnp.sum((r_flat - x_flat) ** 2, axis=-1)
                           - dim_prod / 2 * math.log(2 * math.pi))
                 else:
-                    r = jnp.clip(r_flat, 1e-7, 1.0 - 1e-7)
+                    r = jnp.clip(r_flat.astype(jnp.float32), 1e-7, 1.0 - 1e-7)
                     lp = jnp.sum(x_flat * jnp.log(r)
                                  + (1 - x_flat) * jnp.log(1 - r), axis=-1)
                 log_p_x.append(lp.reshape(bs, self.n_obs).mean(axis=-1))

@@ -88,8 +88,10 @@ class VAMP:
         xf = x.reshape(x.shape[0], -1)
         mf = pix_mask.reshape(x.shape[0], -1)
         if self.reconstruction_loss == "bce":
+            # fp32 before the clip: bf16 rounds 1-1e-7 to exactly 1.0, so a
+            # bf16 out_dtype decoder would hit log(0) = -inf (ADVICE r4)
             eps = 1e-7
-            r = jnp.clip(rf, eps, 1 - eps)
+            r = jnp.clip(rf.astype(jnp.float32), eps, 1 - eps)
             return jnp.sum((-(xf * jnp.log(r) + (1 - xf) * jnp.log(1 - r))) * mf, axis=-1)
         return jnp.sum(0.5 * (rf - xf) ** 2 * mf, axis=-1)
 

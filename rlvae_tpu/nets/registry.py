@@ -122,5 +122,6 @@ def create_decoder(
             num_blocks=tuple(_get(config, "num_blocks", default=(2, 2, 2, 2))),
             dropout=float(_get(config, "dropout", default=0.1)),
             dtype=_dtype(config),
+            out_dtype=_out_dtype(config),
         )
     raise ValueError(f"Unknown decoder architecture: {arch}")

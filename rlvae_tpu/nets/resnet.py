@@ -89,6 +89,7 @@ class ResNetDecoder(nn.Module):
     num_blocks: Sequence[int] = (2, 2, 2, 2)
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
+    out_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -138,7 +139,8 @@ class ResNetDecoder(nn.Module):
                     out, train=train
                 )
         out = nn.ConvTranspose(
-            c, (4, 4), strides=(2, 2), padding="SAME", dtype=jnp.float32, name="final",
+            c, (4, 4), strides=(2, 2), padding="SAME", dtype=self.out_dtype,
+            name="final",
         )(out)
         out = out[:, :height, :width, :]  # trim the tiny-image overshoot
         recon = jnp.transpose(out, (0, 3, 1, 2))  # NHWC -> NCHW
