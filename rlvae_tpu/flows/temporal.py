@@ -87,6 +87,13 @@ class TemporalFlowConfig:
             return False
         if self.backend == "pallas":
             return True
+        if self.latent_dim > 32 or self.hidden_size > 256:
+            # the fused kernels unroll the D-dim autoregressive pass and keep
+            # all block weights VMEM-resident; beyond the tuned envelope
+            # (D<=32, H<=256) auto mode takes the XLA scan instead of risking
+            # program bloat / Mosaic VMEM overflow (explicit backend="pallas"
+            # still forces the kernel)
+            return False
         return self.backend == "auto" and jax.default_backend() == "tpu"
 
     def init(self, key: jax.Array) -> List[List[Dict[str, jax.Array]]]:

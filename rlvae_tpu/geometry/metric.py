@@ -171,9 +171,10 @@ def chol_g_inv(metric: CentroidMetric, z: Array, jitter: float = 1e-6) -> Array:
     this XLA path — putting the north-star kernel on the training hot path
     (metric-aware posterior + Riemannian KL)."""
     if jax.default_backend() == "tpu" and z.ndim == 2:
-        from rlvae_tpu.ops.metric_kernels import chol_g_inv_fused
+        from rlvae_tpu.ops.metric_kernels import chol_g_inv_fused, fused_supported
 
-        return chol_g_inv_fused(metric, z, jitter)
+        if fused_supported(metric):
+            return chol_g_inv_fused(metric, z, jitter)
     return _chol_g_inv_xla(metric, z, jitter)
 
 
@@ -185,9 +186,10 @@ def g(metric: CentroidMetric, z: Array, jitter: float = 0.0) -> Array:
     """Metric tensor G(z) = [G^{-1}(z)]^{-1} via unrolled Cholesky solves
     (fused Pallas forward on TPU, see chol_g_inv)."""
     if jitter == 0.0 and jax.default_backend() == "tpu" and z.ndim == 2:
-        from rlvae_tpu.ops.metric_kernels import g_fused
+        from rlvae_tpu.ops.metric_kernels import fused_supported, g_fused
 
-        return g_fused(metric, z)
+        if fused_supported(metric):
+            return g_fused(metric, z)
     return _g_xla(metric, z, jitter)
 
 

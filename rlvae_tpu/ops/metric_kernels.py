@@ -44,6 +44,30 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# The kernels unroll the Cholesky/inversion in D (program size grows ~D^2)
+# and keep the [D^2, K_pad] matrix slab VMEM-resident across the whole batch;
+# outside this envelope (large latent dims, K in the tens of thousands) the
+# slab overflows the ~16 MiB scoped-VMEM budget or the unroll bloats the
+# program, so auto paths must fall back to XLA (geometry/metric.py) or the
+# EP-sharded bank (parallel/metric_parallel.py).
+_FUSED_MAX_DIM = 32
+_FUSED_VMEM_BUDGET = 12 * 2**20  # constant slabs only; leaves TB headroom
+
+
+def fused_supported(metric: CentroidMetric) -> bool:
+    """True when the fused kernels' VMEM working set fits this metric.
+
+    Used by every `backend="auto"` dispatch (geometry/metric.py,
+    samplers/hmc.py) so large-K / large-D metrics degrade to the XLA path
+    instead of failing Mosaic allocation at trace time."""
+    k, d = metric.centroids.shape
+    if d > _FUSED_MAX_DIM:
+        return False
+    k_pad = _ceil_to(k, 128)
+    const_slabs = 4 * (d * d + d) * k_pad  # matrices + centroids, f32
+    return const_slabs <= _FUSED_VMEM_BUDGET
+
+
 # ---------------------------------------------------------------------------
 # In-kernel building blocks (operate on lists of [D, TB] column slabs)
 # ---------------------------------------------------------------------------

@@ -162,10 +162,12 @@ class AdaptiveRHVAEGenerationSampler(BaseGenerationSampler):
     """Beyond-reference manifold sampler: dual-averaging calibration + warm
     start pool (samplers/hmc.py:calibrate_adaptive_plan) paid once in
     :meth:`fit`, then every :meth:`sample_latents` is one compiled
-    fixed-eps chain — 13x the official chain's effective-samples/sec at
-    equal wall-clock with Fréchet-vs-gold better than the official chain
-    (outputs/adaptive_hmc/summary.json).  The parity-exact ``rhvae``
-    sampler is untouched."""
+    fixed-eps chain — 13.4x the official chain's effective-samples/sec at
+    equal dispatch (1.45x the wall per run; the one-time calibration
+    amortizes after ~101 cached-plan requests) with Fréchet-vs-gold better
+    than the official chain (outputs/adaptive_hmc/summary.json incl.
+    `calibration_breakeven`).  The parity-exact ``rhvae`` sampler is
+    untouched."""
 
     name = "AdaptiveRHVAESampler"
 

@@ -47,12 +47,13 @@ class HMCConfig:
 
 def _terms_fn(metric: CentroidMetric, backend: str):
     """(log pi, grad log pi) evaluator for the chain."""
+    from rlvae_tpu.ops.metric_kernels import fused_supported, hmc_terms_pallas
+
     use_pallas = backend == "pallas" or (
         backend == "auto" and jax.default_backend() == "tpu"
+        and fused_supported(metric)  # large-K/D metrics -> XLA (VMEM budget)
     )
     if use_pallas:
-        from rlvae_tpu.ops.metric_kernels import hmc_terms_pallas
-
         return lambda z: hmc_terms_pallas(metric, z)
 
     def xla_terms(z):

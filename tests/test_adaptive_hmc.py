@@ -58,12 +58,31 @@ def test_not_worse_at_equal_budget(summary):
 
 def test_ess_per_sec_dominates(summary):
     """The VERDICT bar: >= 10x effective samples per second at equal
-    wall-clock — the adaptive mode is free to shape the chain count to the
-    device (the official parity chain's [256, 16] shape leaves the MXU ~99%
-    idle), but must pay at most a modest wall-clock premium for it."""
+    DISPATCH (one chain run per arm — NOT equal wall-clock; the artifact's
+    wall_vs_official records the premium) — the adaptive mode is free to
+    shape the chain count to the device (the official parity chain's
+    [256, 16] shape leaves the MXU ~99% idle), but must pay at most a
+    modest wall-clock premium for it."""
     assert summary["ess_per_sec_ratio"] >= 10.0, summary["ess_per_sec_ratio"]
     assert summary["adaptive_tpu"]["wall_vs_official"] <= 1.55, (
         summary["adaptive_tpu"]["wall_vs_official"])
+
+
+def test_calibration_breakeven_stated(summary):
+    """The one-time calibration cost is huge relative to one sampling run
+    (~1800x); the artifact must state when it amortizes, and the number must
+    be reproducible from the artifact's own rates (the serving plan cache —
+    tests/test_serving.py — is what delivers that amortization)."""
+    be = summary["calibration_breakeven"]
+    t_cal = summary["adaptive_tpu"]["calibration_s"]
+    r_off = summary["official"]["ess_per_sec"]
+    r_big = summary["adaptive_tpu"]["ess_per_sec"]
+    e_star = t_cal / (1.0 / r_off - 1.0 / r_big)
+    assert abs(be["ess_total"] - e_star) / e_star < 0.01
+    assert be["adaptive_requests"] >= 1
+    assert (be["adaptive_requests"] - 1) * summary["adaptive_tpu"][
+        "ess_post_warmup"] < e_star <= be["adaptive_requests"] * summary[
+        "adaptive_tpu"]["ess_post_warmup"]
 
 
 def test_sample_quality_not_worse(summary):

@@ -255,14 +255,17 @@ _TINY_CFG = {
 }
 
 
-def test_from_manager_generate_adaptive():
+def test_from_manager_generate_adaptive(monkeypatch):
     """Adaptive generation through the engine: the calibrated plan
     (ModelManager.adaptive_plan, cached) makes method='adaptive' a single
     jittable fixed-eps program, so the engine can batch it like any other
-    seeded generation — rows match the direct batched-seeds contract and
-    duplicate seeds give duplicate outputs."""
+    seeded generation — rows match the direct batched-seeds contract,
+    duplicate seeds give duplicate outputs, and ONE calibration serves every
+    request (the break-even economics in outputs/adaptive_hmc/summary.json
+    `calibration_breakeven` assume exactly this)."""
     from pathlib import Path
 
+    from rlvae_tpu import inference as inf_mod
     from rlvae_tpu.geometry import load_metric
     from rlvae_tpu.inference import ModelManager
     from rlvae_tpu.models import RlVAE
@@ -279,8 +282,19 @@ def test_from_manager_generate_adaptive():
     mgr = ModelManager(model, variables)
     # pre-warm a TINY calibrated plan (the production default is a
     # 4096-chain pool — chip-scale work; the cache makes this the one used)
-    mgr.adaptive_plan(pool_size=16, config=HMCConfig(
+    plan0 = mgr.adaptive_plan(pool_size=16, config=HMCConfig(
         mcmc_steps=8, n_lf=3, init="centroids", backend="xla"))
+    # one-calibration contract: any re-calibration attempt during serving
+    # is a bug (the plan cache must absorb every request)
+    import rlvae_tpu.samplers as samplers_mod
+
+    def _no_recalibrate(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("calibrate_adaptive_plan re-ran during serving")
+
+    monkeypatch.setattr(samplers_mod, "calibrate_adaptive_plan",
+                        _no_recalibrate)
+    monkeypatch.setattr(inf_mod, "calibrate_adaptive_plan",
+                        _no_recalibrate, raising=False)
     eng = BatchingEngine.from_manager(
         mgr, ServeConfig(buckets=(1, 2, 4), max_wait_ms=200.0),
         generate_n_obs=4, generate_method="adaptive",
@@ -295,6 +309,7 @@ def test_from_manager_generate_adaptive():
         want = mgr.sample_random_batched_seeds(seeds, method="adaptive",
                                                n_obs=4)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        assert mgr.adaptive_plan() is plan0  # cache hit, no re-calibration
     finally:
         eng.stop()
 
