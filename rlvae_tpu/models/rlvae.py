@@ -69,6 +69,7 @@ class RlVAE:
         flow_log_var_bias_init: float = -2.0,
         flow_fixedpoint_iters: int = 0,
         flow_loss_mode: str = "reference",
+        remat_decode: bool = False,
         encoder_config: Optional[Mapping[str, Any]] = None,
         decoder_config: Optional[Mapping[str, Any]] = None,
         metric: Optional[CentroidMetric] = None,
@@ -93,6 +94,14 @@ class RlVAE:
         self.loop_mode = loop_mode
         self.loop_lambda = float(loop_penalty)
         self.flow_loss_mode = flow_loss_mode
+        # rematerialized decode+recon-loss for training: the step's binding
+        # resource at large batch is HBM bytes, ~80% of which are
+        # recon-sized [B*T, pix] tensors saved for the backward
+        # (outputs/step_breakdown/).  jax.checkpoint over decode+MSE lets
+        # XLA fuse the forward reduction and recompute the decode in the
+        # backward — recon never persists in HBM.  Loss-value identical;
+        # off by default (parity preset untouched).
+        self.remat_decode = bool(remat_decode)
         self.name = name
 
         self.encoder = create_encoder(self.input_dim, latent_dim, encoder_config)
@@ -298,10 +307,32 @@ class RlVAE:
             z_seq = z_seq.at[:, -1].set(z_seq[:, 0])
 
         z_flat = z_seq.reshape(batch_size * n_obs, self.latent_dim)
+        # remat only when the decoder carries no BN stats (stats come from
+        # the plain decode, which would otherwise stay live and double the
+        # decode cost)
+        use_remat = (
+            self.remat_decode and train
+            and not variables.get("stats", {}).get("decoder")
+        )
+        if use_remat:
+            def _dec_loss(dec_params, z_flat_, x_):
+                vs = {"params": {**variables["params"], "decoder": dec_params},
+                      "stats": variables.get("stats", {})}
+                d_out, _ = self.decode(vs, z_flat_, train=train, rng=k_drop_dec)
+                r = d_out.reconstruction.reshape(
+                    batch_size, n_obs, *self.input_dim)
+                return losses.reconstruction_loss(r, x_, self.loop_mode)
+
+            recon_loss = jax.checkpoint(_dec_loss)(
+                variables["params"]["decoder"], z_flat, x)
+        # the full reconstruction for the output contract; in a train step
+        # only scalar metrics are consumed, so XLA dead-code-eliminates this
+        # decode entirely when use_remat is True
         dec_out, dec_updates = self.decode(variables, z_flat, train=train, rng=k_drop_dec)
         recon = dec_out.reconstruction.reshape(batch_size, n_obs, *self.input_dim)
 
-        recon_loss = losses.reconstruction_loss(recon, x, self.loop_mode)
+        if not use_remat:
+            recon_loss = losses.reconstruction_loss(recon, x, self.loop_mode)
 
         if self.posterior_type == "riemannian_metric" and self.metric is not None:
             kl = losses.riemannian_metric_kl(self.metric, mu, z0)

@@ -97,9 +97,6 @@ def profile_preset(name, model, metric, B, T, latent, rng, results):
     dec = jax.jit(lambda vv, zz: model.decode(vv, zz)[0].reconstruction)
     flows = jax.jit(lambda vv, zz: apply_temporal_flows(
         model.flow_config, vv["params"]["flows"], zz, T)[0])
-    post = jax.jit(lambda kk, mm, lv: sample_metric_aware_posterior(
-        metric, kk, mm, lv))
-    rkl = jax.jit(lambda zz, mm: losses.riemannian_metric_kl(metric, mm, zz))
     fwd = jax.jit(lambda vv, xx, kk: model.forward(vv, xx, kk, train=True).loss)
 
     def loss_fn(params, vv, xx, kk):
@@ -108,17 +105,27 @@ def profile_preset(name, model, metric, B, T, latent, rng, results):
 
     grad = jax.jit(jax.grad(loss_fn))
 
-    stages = {}
-    costs = {}
-    for sname, fn, args in (
+    stage_list = [
         ("encoder_fwd", enc, (v, x0)),
         ("decoder_fwd_BT", dec, (v, z_flat)),
         ("flows_fwd", flows, (v, z0)),
-        ("posterior_sample", post, (key, mu, log_var)),
-        ("riemannian_kl", rkl, (z0, mu)),
+    ]
+    if metric is not None and model.posterior_type == "riemannian_metric":
+        post = jax.jit(lambda kk, mm, lv: sample_metric_aware_posterior(
+            metric, kk, mm, lv))
+        rkl = jax.jit(lambda zz, mm: losses.riemannian_metric_kl(metric, mm, zz))
+        stage_list += [
+            ("posterior_sample", post, (key, mu, log_var)),
+            ("riemannian_kl", rkl, (z0, mu)),
+        ]
+    stage_list += [
         ("forward_loss", fwd, (v, x, key)),
         ("forward_grad", grad, (v["params"], v, x, key)),
-    ):
+    ]
+
+    stages = {}
+    costs = {}
+    for sname, fn, args in stage_list:
         c = compile_once(fn, *args)
         stages[sname] = bench(c, *args) * 1e3
         costs[sname] = cost(c)
@@ -171,26 +178,34 @@ def main():
     rng = np.random.default_rng(0)
     results = {"device": str(jax.devices()[0]), "batch": B, "t": T}
 
+    stable = dict(flow_direction="sampling", flow_loss_mode="volume",
+                  flow_log_var_bias_init=0.0)
     for name, latent, flow_hid, met, overrides in (
         ("density_parity", 16, 256, metric, {}),
-        ("sampling_stable", 16, 256, metric,
-         dict(flow_direction="sampling", flow_loss_mode="volume",
-              flow_log_var_bias_init=0.0)),
+        ("sampling_stable", 16, 256, metric, dict(stable)),
+        # HBM-traffic harvest: bf16 reconstructions + checkpointed
+        # decode+MSE (the step is byte-bound at B=4096 — most bytes are
+        # recon-sized tensors saved for the backward)
+        ("stable_bf16_remat", 16, 256, metric,
+         dict(stable, remat_decode=True,
+              decoder_config={"out_dtype": "bfloat16"})),
         # beyond-parity TPU-shaped config: latent/flow widths that fill the
-        # 128-lane MXU tile; same code path (riemannian posterior routes
-        # through the XLA metric at D=128, fused kernels are D<=32-gated)
-        ("tpu_shaped_128", 128, 512,
-         CentroidMetric.identity(128, n_centroids=200, temperature=3.0,
-                                 regularization=0.01,
-                                 key=jax.random.PRNGKey(7)),
-         dict(flow_direction="sampling", flow_loss_mode="volume",
-              flow_log_var_bias_init=0.0)),
+        # 128-lane MXU tile.  Gaussian posterior: at D=128 the metric
+        # linalg (batched 128x128 Cholesky through jnp.linalg) is its own
+        # bottleneck regime (measured 0.1-0.2% of peak, 64-107 ms/stage)
+        # and would drown the matmul tile-fill signal this config exists
+        # to isolate.
+        ("tpu_shaped_128", 128, 512, None,
+         dict(stable, remat_decode=True,
+              decoder_config={"out_dtype": "bfloat16"})),
     ):
         print(f"\n== {name} (latent {latent}, flow_hidden {flow_hid}) ==",
               flush=True)
+        posterior = "riemannian_metric" if met is not None else "gaussian"
         model = RlVAE(input_dim=(3, 64, 64), latent_dim=latent, n_flows=8,
                       flow_hidden_size=flow_hid,
-                      posterior_type="riemannian_metric", metric=met,
+                      posterior_type=posterior, metric=met,
+                      use_riemannian=met is not None,
                       **overrides)
         profile_preset(name, model, met, B, T, latent, rng, results)
 

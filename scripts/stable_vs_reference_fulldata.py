@@ -132,6 +132,77 @@ def generation_fid(name: str, gen_n: int, data_frames: np.ndarray) -> dict:
     }
 
 
+def sequence_generation_fid(name: str, gen_n: int,
+                            test_seqs: np.ndarray) -> dict:
+    """Full-sequence generation through the ARM'S OWN temporal flows
+    (VERDICT r4 item 4: the z0-only comparison above decodes arm-identical
+    prior latents — the official chain depends only on the shared frozen
+    metric and seed — so it measures decoders only.  The flows are exactly
+    the component the stable preset changes).
+
+    prior z0 (official chain, same seed both arms) -> this arm's flows
+    evolve T frames (reference: riemannian_flow_vae.py:1312 +
+    flow_manager.py:34-68) -> this arm's decoder -> FID of the generated
+    FRAME MARGINAL (all T timesteps) vs held-out sequence frames, plus the
+    flow-evolved latent norms and generated-sequence cyclicity the flows
+    alone determine."""
+    import jax
+    import jax.numpy as jnp
+
+    from rlvae_tpu.flows import apply_temporal_flows
+    from rlvae_tpu.inference import ModelManager
+    from rlvae_tpu.models import RlVAE
+    from rlvae_tpu.utils.fid import encoder_features, fid_score, pixel_features
+
+    mm = ModelManager.from_run(OUT / name)
+    model = mm.model
+    n_obs = test_seqs.shape[1]
+    z0 = model.sample_riemannian_prior(jax.random.PRNGKey(0), gen_n,
+                                       method="official")
+    z_seq, _ = apply_temporal_flows(
+        model.flow_config, mm.variables["params"]["flows"], z0, n_obs)
+    dec_out, _ = model.decode(mm.variables, z_seq.reshape(-1, model.latent_dim))
+    x_seq = np.asarray(
+        dec_out.reconstruction.reshape(gen_n, n_obs, *model.input_dim),
+        np.float32,
+    )
+
+    feat_model = RlVAE(
+        input_dim=(3, 64, 64), latent_dim=16, n_flows=0,
+        posterior_type="gaussian", sampling_method="standard",
+        use_riemannian=False,
+        encoder_config={"dtype": "float32"}, decoder_config={"dtype": "float32"},
+    )
+    fv = feat_model.init(jax.random.PRNGKey(1))
+    fv = feat_model.load_pretrained_components(
+        fv, encoder_path=REPO_ROOT / "data" / "pretrained" / "encoder.npz"
+    )
+
+    def enc(x):
+        out, _ = feat_model.encode(fv, jnp.asarray(x))
+        return np.asarray(out.embedding)
+
+    gen_frames = x_seq.reshape(-1, *model.input_dim)
+    data_frames = test_seqs.reshape(-1, *model.input_dim)[: len(gen_frames)]
+    z_np = np.asarray(z_seq)
+    return {
+        "seq_pixel_fid_vs_data": float(
+            fid_score(pixel_features(data_frames), pixel_features(gen_frames))
+        ),
+        "seq_encoder_fid_vs_data": float(
+            fid_score(encoder_features(enc, data_frames),
+                      encoder_features(enc, gen_frames))
+        ),
+        "gen_seq_cyclicity_mse": float(
+            np.mean((x_seq[:, 0] - x_seq[:, -1]) ** 2)
+        ),
+        "gen_z_norm_mean_t0": float(np.linalg.norm(z_np[:, 0], axis=-1).mean()),
+        "gen_z_norm_mean_t_last": float(
+            np.linalg.norm(z_np[:, -1], axis=-1).mean()
+        ),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=50)
@@ -160,6 +231,10 @@ def main():
     for arm in ARMS:
         print(f"[fulldata] generation FID for arm '{arm}'", flush=True)
         results[arm]["generation"] = generation_fid(arm, args.gen_n, data_frames)
+        results[arm]["sequence_generation"] = sequence_generation_fid(
+            arm, args.gen_n, test_seqs)
+        print(f"[fulldata] arm '{arm}' sequence generation: "
+              f"{results[arm]['sequence_generation']}", flush=True)
 
     ref, st = results["reference"], results["stable"]
     try:
@@ -180,6 +255,10 @@ def main():
         },
         "generation": {
             "reference": ref["generation"], "stable": st["generation"],
+        },
+        "sequence_generation": {
+            "reference": ref["sequence_generation"],
+            "stable": st["sequence_generation"],
         },
         "latent_norm_ratio_ref_over_stable": (
             ref["test"]["latent_norm"] / max(st["test"]["latent_norm"], 1e-12)
@@ -203,11 +282,32 @@ def main():
             f"| generation {k} | {ref['generation'][k]:.6g} "
             f"| {st['generation'][k]:.6g} |"
         )
+    for k in sorted(ref["sequence_generation"]):
+        lines.append(
+            f"| sequence generation {k} | {ref['sequence_generation'][k]:.6g} "
+            f"| {st['sequence_generation'][k]:.6g} |"
+        )
     lines += [
         "",
-        "Generation: official RHVAE prior chain (100x15, centroid starts) ->",
-        "each arm's best decoder; FID vs held-out synthetic frames in pixel",
-        "space and the fixed pretrained-encoder feature space.",
+        "Generation (z0-only rows): official RHVAE prior chain (100x15,",
+        "centroid starts) -> each arm's best decoder; FID vs held-out",
+        "synthetic frames in pixel space and the fixed pretrained-encoder",
+        "feature space.  NOTE: the prior z0 depends only on the shared",
+        "frozen metric + seed, so those rows are arm-identical latents and",
+        "compare DECODERS only.",
+        "",
+        "Sequence-generation rows: the same z0 evolved through each ARM'S",
+        "OWN temporal flows and decoded at every timestep — this is the",
+        "component the stable preset changes; frame-marginal FID over all",
+        "T frames, plus flow-evolved latent norms and generated cyclicity.",
+        "",
+        f"Early stopping: both arms train with the same full_data",
+        f"early-stopping config; the reference arm stopped at",
+        f"{ref['epochs_run']}/{summary['scale']['epochs']} epochs (its",
+        "objective plateaued at exploded latents), the stable arm at",
+        f"{st['epochs_run']}/{summary['scale']['epochs']} — equal-config,",
+        "not equal-epoch, which is the fair comparison for 'train this",
+        "objective to convergence'.",
         "Total losses are NOT compared (different objectives).",
     ]
     (OUT / "SUMMARY.md").write_text("\n".join(lines) + "\n")

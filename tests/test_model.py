@@ -355,6 +355,45 @@ def test_bf16_recon_dtype_option():
     assert np.isfinite(float(oc.loss))
 
 
+def test_remat_decode_exact_parity():
+    """remat_decode (HBM-traffic knob: checkpointed decode+MSE, the backward
+    recomputes the decode instead of saving recon-sized residuals —
+    outputs/step_breakdown/ shows the step is byte-bound): loss, grads AND
+    recon_x must be bit-identical to the plain path; it composes with
+    out_dtype=bfloat16."""
+    common = dict(
+        posterior_type="gaussian", sampling_method="standard",
+        use_riemannian=False,
+    )
+    x = _batch()
+    key = jax.random.PRNGKey(1)
+    for extra in ({}, {"decoder_config": {"out_dtype": "bfloat16"}}):
+        m0 = RlVAE(**SMALL, **common, **extra)
+        m1 = RlVAE(**SMALL, **common, remat_decode=True, **extra)
+        variables = m0.init(jax.random.PRNGKey(0))
+
+        def loss(model, p):
+            return model.forward(
+                dict(variables, params=p), x, key, train=True).loss
+
+        l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(variables["params"])
+        l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(variables["params"])
+        assert float(l0) == float(l1)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
+        assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+        o0 = m0.forward(variables, x, key, train=True)
+        o1 = m1.forward(variables, x, key, train=True)
+        assert bool(jnp.all(o0.recon_x == o1.recon_x))
+    # factory plumbing
+    from rlvae_tpu.models.factory import create_model as _cm
+
+    cfg = compose(CONF, overrides=["model=riemannian_flow_vae_stable"])
+    d = cfg.model.to_dict()
+    d["remat_decode"] = True
+    assert _cm(d).remat_decode is True
+
+
 def test_init_tolerates_missing_pretrained_files(capsys):
     """A config pointing at nonexistent pretrained artifacts must warn and
     train from scratch — the reference's loader degrades on ANY failure
