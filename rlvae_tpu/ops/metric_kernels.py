@@ -44,28 +44,47 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-# The kernels unroll the Cholesky/inversion in D (program size grows ~D^2)
-# and keep the [D^2, K_pad] matrix slab VMEM-resident across the whole batch;
-# outside this envelope (large latent dims, K in the tens of thousands) the
-# slab overflows the ~16 MiB scoped-VMEM budget or the unroll bloats the
-# program, so auto paths must fall back to XLA (geometry/metric.py) or the
-# EP-sharded bank (parallel/metric_parallel.py).
+# The kernels unroll the Cholesky/inversion in D (program size grows ~D^2),
+# so large latent dims fall back to XLA (geometry/metric.py).  The K axis has
+# two regimes, both fused:
+#   - RESIDENT (small K): the [D^2, K_pad] matrix slab and the [K_pad, TB]
+#     weight temporaries live in VMEM across the whole batch — one grid axis.
+#   - CHUNKED (large K): a second, innermost grid axis walks K in KC-wide
+#     chunks, accumulating w@M (and the HMC v contraction) into VMEM scratch;
+#     the Cholesky/inversion epilogue runs on the last chunk.  VMEM use is
+#     K-independent, so the dense single-chip path scales to K in the
+#     hundreds of thousands (HBM-resident bank) before the EP-sharded bank
+#     (parallel/metric_parallel.py) is needed for capacity or throughput.
+# The resident envelope was MEASURED on v5e (scripts/_probe_k_envelope.py,
+# outputs/k_scaling/): at D=16, K=2000 compiles only at TB<=128 and K=5000
+# not at all — the 4 live [K_pad, TB] f32 weight slabs (d2 + diff + w +
+# matmul operand staging), not the constant slabs, are what overflow the
+# 16 MiB scoped-VMEM budget.  _resident_ok models exactly that.
 _FUSED_MAX_DIM = 32
-_FUSED_VMEM_BUDGET = 12 * 2**20  # constant slabs only; leaves TB headroom
+_RESIDENT_VMEM_BUDGET = 8 * 2**20  # headroom for out blocks + double buffers
+_KC = 512  # K-chunk width (multiple of 128; [KC, TB] temporaries ~1 MiB)
+
+
+def _resident_ok(d: int, k_pad: int, tb: int, n_m: int = 1) -> bool:
+    """True when the single-grid kernel's VMEM working set fits: constant
+    slabs (n_m matrix slabs + centroids) plus ~4 live [K_pad, TB] f32
+    weight temporaries."""
+    const = 4 * (n_m * d * d + d) * k_pad
+    live = 16 * k_pad * tb
+    return const + live <= _RESIDENT_VMEM_BUDGET
 
 
 def fused_supported(metric: CentroidMetric) -> bool:
-    """True when the fused kernels' VMEM working set fits this metric.
+    """True when the fused kernels can serve this metric (resident OR
+    chunked regime).
 
     Used by every `backend="auto"` dispatch (geometry/metric.py,
-    samplers/hmc.py) so large-K / large-D metrics degrade to the XLA path
-    instead of failing Mosaic allocation at trace time."""
+    samplers/hmc.py) so out-of-envelope metrics (large latent dim) degrade
+    to the XLA path instead of failing Mosaic allocation at trace time.
+    The K axis no longer bounds support: the chunked kernels' VMEM use is
+    K-independent (the bank streams from HBM)."""
     k, d = metric.centroids.shape
-    if d > _FUSED_MAX_DIM:
-        return False
-    k_pad = _ceil_to(k, 128)
-    const_slabs = 4 * (d * d + d) * k_pad  # matrices + centroids, f32
-    return const_slabs <= _FUSED_VMEM_BUDGET
+    return d <= _FUSED_MAX_DIM
 
 
 # ---------------------------------------------------------------------------
@@ -86,6 +105,29 @@ def _weights_slab(z_ref, c_ref, inv_t2, d: int, k_real: int, k_pad: int, tb: int
         k_idx = jax.lax.broadcasted_iota(jnp.int32, (k_pad, tb), 0)
         w = jnp.where(k_idx < k_real, w, 0.0)
     return w
+
+
+def _weights_chunk(z_ref, c_ref, inv_t2, d: int, k0, k_real: int, kc: int, tb: int):
+    """w chunk [KC, TB] for the K-chunked kernels; rows whose GLOBAL index
+    k0+row reaches past the real bank are masked to zero (k0 is traced:
+    program_id(1) * KC)."""
+    d2 = jnp.zeros((kc, tb), jnp.float32)
+    for i in range(d):
+        diff = c_ref[i, :].reshape(kc, 1) - z_ref[i, :].reshape(1, tb)
+        d2 = d2 + diff * diff
+    w = jnp.exp(-d2 * inv_t2)
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (kc, tb), 0) + k0
+    return jnp.where(k_idx < k_real, w, 0.0)
+
+
+def _gi_cols_from_acc(acc, lbd, d: int):
+    """G^{-1} column slabs from an accumulated w@M slab [D^2, TB] + lbd I."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)
+    return [
+        jnp.where(row == j, acc[j * d : (j + 1) * d, :] + lbd,
+                  acc[j * d : (j + 1) * d, :])
+        for j in range(d)
+    ]
 
 
 def _finish_weights(cz, zt, c2_ref, inv_t2, k_real: int, k_pad: int, tb: int):
@@ -287,6 +329,143 @@ def _chol_bundle_kernel(
     ld_ref[...] = 2.0 * log_diag.T  # logdet G^{-1}, [TB, 1]
 
 
+# ---------------------------------------------------------------------------
+# K-chunked kernels (large centroid banks).  Grid (B_tiles, K_tiles) with K
+# innermost: each step accumulates this chunk's w @ M (and for HMC the v
+# contraction) into VMEM scratch, which persists across the sequential TPU
+# grid; the nonlinear epilogue (Cholesky, log-det, inversion, gradient
+# assembly) runs once on the last chunk.  VMEM is K-independent — the bank
+# streams from HBM through the [*, KC] block pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _acc_chunk(scal_ref, z_ref, c_ref, m_ref, acc_ref, d, k_real, kc, tb):
+    """Shared chunk body: accumulate w @ M for this K-chunk; returns the
+    chunk's weight slab for kernels that need it again (HMC's v)."""
+    inv_t2 = scal_ref[0, 0]
+    jc = pl.program_id(1)
+    w = _weights_chunk(z_ref, c_ref, inv_t2, d, jc * kc, k_real, kc, tb)
+    contrib = jax.lax.dot_general(
+        m_ref[...], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [D^2, TB], j-major rows
+
+    @pl.when(jc == 0)
+    def _():
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    acc_ref[...] += contrib
+    return w
+
+
+def _chol_bundle_kernel_kc(
+    scal_ref, z_ref, c_ref, m_ref, l_ref, ld_ref, acc_ref, *,
+    d, k_real, kc, n_kc, tb
+):
+    lbd = scal_ref[0, 1]
+    _acc_chunk(scal_ref, z_ref, c_ref, m_ref, acc_ref, d, k_real, kc, tb)
+
+    @pl.when(pl.program_id(1) == n_kc - 1)
+    def _():
+        gi_cols = _gi_cols_from_acc(acc_ref[...], lbd, d)
+        l_cols = _chol_cols(gi_cols, d)
+        l_ref[...] = _stack_cols(l_cols).T
+        log_diag = sum(jnp.log(l_cols[j][j : j + 1, :]) for j in range(d))
+        ld_ref[...] = 2.0 * log_diag.T
+
+
+def _bundle_kernel_kc(
+    scal_ref, z_ref, c_ref, m_ref, gi_ref, l_ref, ld_ref, g_ref, acc_ref, *,
+    d, k_real, kc, n_kc, tb
+):
+    lbd = scal_ref[0, 1]
+    _acc_chunk(scal_ref, z_ref, c_ref, m_ref, acc_ref, d, k_real, kc, tb)
+
+    @pl.when(pl.program_id(1) == n_kc - 1)
+    def _():
+        gi_cols = _gi_cols_from_acc(acc_ref[...], lbd, d)
+        gi_ref[...] = _stack_cols(gi_cols).T
+        l_cols = _chol_cols(gi_cols, d)
+        l_ref[...] = _stack_cols(l_cols).T
+        log_diag = sum(jnp.log(l_cols[j][j : j + 1, :]) for j in range(d))
+        ld_ref[...] = 2.0 * log_diag.T
+        x_rows = _inv_rows_from_chol(l_cols, d)
+        g_cols = _g_cols_from_inv_rows(x_rows, d)
+        g_ref[...] = _stack_cols(g_cols).T
+
+
+def _g_inv_kernel_kc(
+    scal_ref, z_ref, c_ref, m_ref, out_ref, acc_ref, *, d, k_real, kc, n_kc, tb
+):
+    lbd = scal_ref[0, 1]
+    _acc_chunk(scal_ref, z_ref, c_ref, m_ref, acc_ref, d, k_real, kc, tb)
+
+    @pl.when(pl.program_id(1) == n_kc - 1)
+    def _():
+        out_ref[...] = _stack_cols(_gi_cols_from_acc(acc_ref[...], lbd, d)).T
+
+
+def _hmc_kernel_kc(
+    scal_ref, z_ref, c_ref, m_ref, m2_ref, logpi_ref, grad_ref,
+    acc_ref, v_ref, *, d, k_real, kc, n_kc, tb
+):
+    inv_t2, lbd, log_eps = scal_ref[0, 0], scal_ref[0, 1], scal_ref[0, 2]
+    jc = pl.program_id(1)
+    w = _acc_chunk(scal_ref, z_ref, c_ref, m_ref, acc_ref, d, k_real, kc, tb)
+
+    @pl.when(jc == 0)
+    def _():
+        v_ref[...] = jnp.zeros(v_ref.shape, v_ref.dtype)
+
+    v_ref[...] += _v_slab(w, z_ref, c_ref, m2_ref, inv_t2, d, kc, tb)
+
+    @pl.when(jc == n_kc - 1)
+    def _():
+        gi_cols = _gi_cols_from_acc(acc_ref[...], lbd, d)
+        l_cols = _chol_cols(gi_cols, d)
+        log_diag = sum(jnp.log(l_cols[j][j : j + 1, :]) for j in range(d))
+        logpi_ref[...] = jnp.logaddexp(log_diag, log_eps).T
+        x_rows = _inv_rows_from_chol(l_cols, d)
+        g_cols = _g_cols_from_inv_rows(x_rows, d)
+        v = v_ref[...]
+        grad = jnp.zeros((d, tb), jnp.float32)
+        for j in range(d):
+            grad = grad + g_cols[j] * v[j : j + 1, :]
+        grad_ref[...] = (-0.5 * grad).T
+
+
+def _hmc_partial_kernel_kc(
+    scal_ref, z_ref, c_ref, m_ref, m2_ref, gi_ref, v_out_ref,
+    acc_ref, v_ref, *, d, k_real, kc, n_kc, tb
+):
+    inv_t2 = scal_ref[0, 0]
+    jc = pl.program_id(1)
+    w = _acc_chunk(scal_ref, z_ref, c_ref, m_ref, acc_ref, d, k_real, kc, tb)
+
+    @pl.when(jc == 0)
+    def _():
+        v_ref[...] = jnp.zeros(v_ref.shape, v_ref.dtype)
+
+    v_ref[...] += _v_slab(w, z_ref, c_ref, m2_ref, inv_t2, d, kc, tb)
+
+    @pl.when(jc == n_kc - 1)
+    def _():
+        gi_ref[...] = acc_ref[...].T  # no + lbd I: EP partials psum first
+        v_out_ref[...] = v_ref[...].T
+
+
+def _chunk_in_specs(d: int, tb: int, kc: int, smem_cols: int, n_m: int = 1):
+    """in_specs for (scalars, z, c, m[, m2]) under grid (B_tiles, K_tiles)."""
+    mspec = pl.BlockSpec((d * d, kc), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    return [
+        pl.BlockSpec((1, smem_cols), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((d, tb), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, kc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        *([mspec] * n_m),
+    ]
+
+
 @functools.partial(jax.jit, static_argnames=("tb", "interpret"))
 def chol_bundle_pallas(
     metric: CentroidMetric, z: jax.Array, tb: int | None = None,
@@ -296,27 +475,42 @@ def chol_bundle_pallas(
     bundle.  Skips the triangular inversion, G reconstruction, and the
     G_inv/G HBM writes of :func:`metric_bundle_pallas`; use that one when G
     itself is consumed (full KL, distances, viz grids)."""
-    b, d, k, k_pad, tb, b_pad, z_t, c_t, m_t = _prep(metric, z, tb)
+    b, d, k, k_pad, tb, kc, b_pad, z_t, c_t, m_t = _prep(metric, z, tb)
     interp = (not _on_tpu()) if interpret is None else interpret
-    l_jm, ld = pl.pallas_call(
-        functools.partial(_chol_bundle_kernel, d=d, k_real=k, k_pad=k_pad, tb=tb),
-        grid=(b_pad // tb,),
-        in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((d, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tb, d * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
-        ],
-        interpret=interp,
-    )(_scalars(metric), z_t, c_t, m_t)
+    out_specs = [
+        pl.BlockSpec((tb, d * d), lambda i, *r: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, 1), lambda i, *r: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
+        jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+    ]
+    if kc is None:
+        l_jm, ld = pl.pallas_call(
+            functools.partial(_chol_bundle_kernel, d=d, k_real=k, k_pad=k_pad, tb=tb),
+            grid=(b_pad // tb,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((d, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interp,
+        )(_scalars(metric), z_t, c_t, m_t)
+    else:
+        l_jm, ld = pl.pallas_call(
+            functools.partial(
+                _chol_bundle_kernel_kc, d=d, k_real=k, kc=kc, n_kc=k_pad // kc, tb=tb
+            ),
+            grid=(b_pad // tb, k_pad // kc),
+            in_specs=_chunk_in_specs(d, tb, kc, smem_cols=2),
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((d * d, tb), jnp.float32)],
+            interpret=interp,
+        )(_scalars(metric), z_t, c_t, m_t)
     chol = jnp.swapaxes(l_jm[:b].reshape(b, d, d), -1, -2)  # j-major -> lower-tri
     return ModelOutput(chol_g_inv=chol, logdet_g_inv=ld[:b, 0])
 
@@ -376,19 +570,35 @@ def _v_slab(w, z_ref, c_ref, m2_ref, inv_t2, d: int, k_pad: int, tb: int):
 # ---------------------------------------------------------------------------
 
 
-def _prep(metric: CentroidMetric, z: jax.Array, tb: int | None):
-    b, d = z.shape
-    k = metric.n_centroids
+def _plan(b: int, d: int, k: int, tb: int | None, n_m: int = 1):
+    """(TB, KC) kernel plan.  KC is None in the resident regime (whole bank
+    VMEM-resident, one grid axis); otherwise the chunked kernels walk K in
+    KC-wide chunks.  An explicitly passed TB is honored; the regime always
+    follows the measured envelope (_resident_ok) so out-of-envelope shapes
+    route to the chunked kernel instead of failing Mosaic allocation."""
     k_pad = _ceil_to(k, 128)
     if tb is None:
         # measured on v5e: small batches prefer minimal tiles (less padding +
         # grid-pipelining overhead); mid sizes peak at TB=512; very large
         # batches (>=32k) gain ~1.4x from TB=2048 (fewer grid steps, the
-        # per-step pipelining overhead amortized)
+        # per-step pipelining overhead amortized) — K permitting
         if b >= 32768:
             tb = 2048
         else:
             tb = min(512, max(128, 1 << (max(b // 8, 1)).bit_length() - 1))
+        while tb > 128 and not _resident_ok(d, k_pad, tb, n_m):
+            tb //= 2
+    if _resident_ok(d, k_pad, tb, n_m):
+        return tb, None
+    # chunked: [KC, TB] temporaries bound VMEM; cap TB at 512 (~1 MiB each)
+    return min(tb, 512), _KC
+
+
+def _prep(metric: CentroidMetric, z: jax.Array, tb: int | None, n_m: int = 1):
+    b, d = z.shape
+    k = metric.n_centroids
+    tb, kc = _plan(b, d, k, tb, n_m)
+    k_pad = _ceil_to(k, kc if kc else 128)
     b_pad = _ceil_to(b, tb)
     z_t = jnp.pad(z.astype(jnp.float32), ((0, b_pad - b), (0, 0))).T  # [D, B_pad]
     c_t = jnp.pad(metric.centroids, ((0, k_pad - k), (0, 0))).T  # [D, K_pad]
@@ -396,7 +606,7 @@ def _prep(metric: CentroidMetric, z: jax.Array, tb: int | None):
     m_t = jnp.pad(
         metric.matrices.transpose(2, 1, 0).reshape(d * d, k), ((0, 0), (0, k_pad - k))
     )  # [D^2, K_pad]
-    return b, d, k, k_pad, tb, b_pad, z_t, c_t, m_t
+    return b, d, k, k_pad, tb, kc, b_pad, z_t, c_t, m_t
 
 
 def _scalars(metric: CentroidMetric, extra=()):
@@ -409,21 +619,37 @@ def g_inv_pallas(
     metric: CentroidMetric, z: jax.Array, tb: int | None = None, interpret: bool | None = None
 ) -> jax.Array:
     """Fused G^{-1}(z) -> [B, D, D]."""
-    b, d, k, k_pad, tb, b_pad, z_t, c_t, m_t = _prep(metric, z, tb)
+    b, d, k, k_pad, tb, kc, b_pad, z_t, c_t, m_t = _prep(metric, z, tb)
     interp = (not _on_tpu()) if interpret is None else interpret
-    out = pl.pallas_call(
-        functools.partial(_g_inv_kernel, d=d, k_real=k, k_pad=k_pad, tb=tb),
-        grid=(b_pad // tb,),
-        in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((d, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tb, d * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
-        interpret=interp,
-    )(_scalars(metric), z_t, c_t, m_t)
+    out_spec = pl.BlockSpec(
+        (tb, d * d), lambda i, *r: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32)
+    if kc is None:
+        out = pl.pallas_call(
+            functools.partial(_g_inv_kernel, d=d, k_real=k, k_pad=k_pad, tb=tb),
+            grid=(b_pad // tb,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((d, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interp,
+        )(_scalars(metric), z_t, c_t, m_t)
+    else:
+        out = pl.pallas_call(
+            functools.partial(
+                _g_inv_kernel_kc, d=d, k_real=k, kc=kc, n_kc=k_pad // kc, tb=tb
+            ),
+            grid=(b_pad // tb, k_pad // kc),
+            in_specs=_chunk_in_specs(d, tb, kc, smem_cols=2),
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((d * d, tb), jnp.float32)],
+            interpret=interp,
+        )(_scalars(metric), z_t, c_t, m_t)
     return out[:b].reshape(b, d, d)  # j-major == i-major: G^{-1} is symmetric
 
 
@@ -438,8 +664,43 @@ def metric_bundle_pallas(
     MXU expansion (_weights_slab_mxu) at Precision.HIGHEST;
     ``mxu_dist="high"`` uses Precision.HIGH (bf16_3x, half the MXU
     passes).  Pass it EXPLICITLY in A/B runs so each arm compiles its own
-    program (static arg; see the trace-time A/B trap in CLAUDE.md)."""
-    b, d, k, k_pad, tb, b_pad, z_t, c_t, m_t = _prep(metric, z, tb)
+    program (static arg; see the trace-time A/B trap in CLAUDE.md).
+
+    Large banks dispatch to the K-chunked kernel (elementwise distance path
+    only — the chunk matmul already owns the MXU there)."""
+    b, d, k, k_pad, tb, kc, b_pad, z_t, c_t, m_t = _prep(metric, z, tb)
+    out_specs = [
+        pl.BlockSpec((tb, d * d), lambda i, *r: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, d * d), lambda i, *r: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, 1), lambda i, *r: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, d * d), lambda i, *r: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
+        jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
+        jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
+    ]
+    if kc is not None:
+        interp = (not _on_tpu()) if interpret is None else interpret
+        gi, l_jm, ld, gm = pl.pallas_call(
+            functools.partial(
+                _bundle_kernel_kc, d=d, k_real=k, kc=kc, n_kc=k_pad // kc, tb=tb
+            ),
+            grid=(b_pad // tb, k_pad // kc),
+            in_specs=_chunk_in_specs(d, tb, kc, smem_cols=2),
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((d * d, tb), jnp.float32)],
+            interpret=interp,
+        )(_scalars(metric), z_t, c_t, m_t)
+        chol = jnp.swapaxes(l_jm[:b].reshape(b, d, d), -1, -2)
+        return ModelOutput(
+            g_inv=gi[:b].reshape(b, d, d),
+            chol_g_inv=chol,
+            logdet_g_inv=ld[:b, 0],
+            g=gm[:b].reshape(b, d, d),
+        )
     extra_in = ()
     extra_specs = []
     if mxu_dist:
@@ -471,18 +732,8 @@ def metric_bundle_pallas(
             pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             *extra_specs,
         ],
-        out_specs=[
-            pl.BlockSpec((tb, d * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, d * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, d * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interp,
     )(_scalars(metric), z_t, c_t, m_t, *extra_in)
     chol = jnp.swapaxes(l_jm[:b].reshape(b, d, d), -1, -2)  # j-major -> lower-tri
@@ -568,32 +819,50 @@ def hmc_terms_pallas(
     (reference: pythae rhvae_sampler.py:158-187); see
     rlvae_tpu.geometry.metric.grad_log_sqrt_det_g_inv for the math note.
     """
-    b, d, k, k_pad, tb, b_pad, z_t, c_t, m_t = _prep(metric, z, tb)
+    b, d, k, k_pad, tb, kc, b_pad, z_t, c_t, m_t = _prep(metric, z, tb, n_m=2)
     interp = (not _on_tpu()) if interpret is None else interpret
     # i-major flattened matrices: row i*D+j = M[:, i, j]
     m_t2 = jnp.pad(
         metric.matrices.transpose(1, 2, 0).reshape(d * d, k), ((0, 0), (0, k_pad - k))
     )
-    logpi, grad = pl.pallas_call(
-        functools.partial(_hmc_kernel, d=d, k_real=k, k_pad=k_pad, tb=tb),
-        grid=(b_pad // tb,),
-        in_specs=[
-            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((d, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, d), jnp.float32),
-        ],
-        interpret=interp,
-    )(_scalars(metric, extra=(math.log(eps),)), z_t, c_t, m_t, m_t2)
+    out_specs = [
+        pl.BlockSpec((tb, 1), lambda i, *r: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, d), lambda i, *r: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b_pad, d), jnp.float32),
+    ]
+    if kc is None:
+        logpi, grad = pl.pallas_call(
+            functools.partial(_hmc_kernel, d=d, k_real=k, k_pad=k_pad, tb=tb),
+            grid=(b_pad // tb,),
+            in_specs=[
+                pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((d, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interp,
+        )(_scalars(metric, extra=(math.log(eps),)), z_t, c_t, m_t, m_t2)
+    else:
+        logpi, grad = pl.pallas_call(
+            functools.partial(
+                _hmc_kernel_kc, d=d, k_real=k, kc=kc, n_kc=k_pad // kc, tb=tb
+            ),
+            grid=(b_pad // tb, k_pad // kc),
+            in_specs=_chunk_in_specs(d, tb, kc, smem_cols=3, n_m=2),
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((d * d, tb), jnp.float32),
+                pltpu.VMEM((d, tb), jnp.float32),
+            ],
+            interpret=interp,
+        )(_scalars(metric, extra=(math.log(eps),)), z_t, c_t, m_t, m_t2)
     return logpi[:b, 0], grad[:b]
 
 
@@ -624,31 +893,49 @@ def hmc_partials_pallas(
     v [B, D]) over this metric's (shard of the) centroid bank — the fused
     kernel behind the centroid-sharded HMC terms.  psum these across bank
     shards, then finish with + lbd I / Cholesky / inverse locally."""
-    b, d, k, k_pad, tb, b_pad, z_t, c_t, m_t = _prep(metric, z, tb)
+    b, d, k, k_pad, tb, kc, b_pad, z_t, c_t, m_t = _prep(metric, z, tb, n_m=2)
     interp = (not _on_tpu()) if interpret is None else interpret
     m_t2 = jnp.pad(
         metric.matrices.transpose(1, 2, 0).reshape(d * d, k), ((0, 0), (0, k_pad - k))
     )
-    gi, v = pl.pallas_call(
-        functools.partial(_hmc_partial_kernel, d=d, k_real=k, k_pad=k_pad, tb=tb),
-        grid=(b_pad // tb,),
-        in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((d, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tb, d * d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, d), jnp.float32),
-        ],
-        interpret=interp,
-    )(_scalars(metric), z_t, c_t, m_t, m_t2)
+    out_specs = [
+        pl.BlockSpec((tb, d * d), lambda i, *r: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, d), lambda i, *r: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b_pad, d * d), jnp.float32),
+        jax.ShapeDtypeStruct((b_pad, d), jnp.float32),
+    ]
+    if kc is None:
+        gi, v = pl.pallas_call(
+            functools.partial(_hmc_partial_kernel, d=d, k_real=k, k_pad=k_pad, tb=tb),
+            grid=(b_pad // tb,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((d, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d * d, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interp,
+        )(_scalars(metric), z_t, c_t, m_t, m_t2)
+    else:
+        gi, v = pl.pallas_call(
+            functools.partial(
+                _hmc_partial_kernel_kc, d=d, k_real=k, kc=kc, n_kc=k_pad // kc, tb=tb
+            ),
+            grid=(b_pad // tb, k_pad // kc),
+            in_specs=_chunk_in_specs(d, tb, kc, smem_cols=2, n_m=2),
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((d * d, tb), jnp.float32),
+                pltpu.VMEM((d, tb), jnp.float32),
+            ],
+            interpret=interp,
+        )(_scalars(metric), z_t, c_t, m_t, m_t2)
     # j-major rows reshape directly: the partial sum of SPD M_k is symmetric
     # (same convention as g_inv_pallas)
     return gi[:b].reshape(b, d, d), v[:b]

@@ -1,0 +1,189 @@
+"""K-scaling evidence on the chip (VERDICT r4 item 3): the fused metric
+kernels vs the centroid-bank size.
+
+The EP metric axis exists because K grows with the dataset — the reference
+retains one centroid per kept observation
+(/root/reference/src/lib/src/pythae/models/rhvae/rhvae_model.py:381-422),
+and its HMC gradient contraction scales with K
+(pythae samplers/manifold_sampler/rhvae_sampler.py:160-187).  This script
+measures, on the real chip, where each kernel regime lives:
+
+  - RESIDENT (whole bank VMEM-resident): the round-4 kernels.  Measured
+    envelope at D=16: K=2000 compiles only at TB<=128; K=5000 not at all;
+    the HMC kernel (two matrix slabs) dies already at K=2000
+    (scripts/_probe_k_envelope.py, round 5).
+  - CHUNKED (ops/metric_kernels.py _*_kc): grid walks K in 512-wide chunks
+    accumulating into VMEM scratch — K-independent VMEM, bank streams from
+    HBM.  This run shows where throughput lands as K grows 100x.
+  - XLA fallback: the batched-linalg path the auto dispatch would otherwise
+    take (~2e5 evals/s at every K — dispatch-floor-bound, not K-bound).
+
+Writes outputs/k_scaling/{results.json,SUMMARY.md}; gated by
+tests/test_k_scaling.py.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+OUT = Path(__file__).resolve().parents[1] / "outputs" / "k_scaling"
+
+B = 8192
+K_GRID = (200, 2000, 5000, 20000)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench(fn, *args, n=20, reps=3, **kw):
+    import jax
+
+    out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args, **kw)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / n)
+    return float(np.median(times))
+
+
+def synthetic(k, d=16, seed=0):
+    from rlvae_tpu.geometry.metric import CentroidMetric
+
+    rng = np.random.default_rng(seed)
+    c = rng.normal(size=(k, d)).astype(np.float32)
+    a = np.eye(d, dtype=np.float32)[None].repeat(k, 0)
+    a += 0.1 * rng.normal(size=(k, d, d)).astype(np.float32)
+    m = np.einsum("kij,klj->kil", a, a)
+    metric = CentroidMetric.create(c, m, temperature=0.5, regularization=0.01)
+    idx = rng.integers(0, k, size=B)
+    z = c[idx] + 0.1 * rng.normal(size=(B, d)).astype(np.float32)
+    return metric, np.asarray(z, np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rlvae_tpu.geometry.metric import _chol_g_inv_xla
+    from rlvae_tpu.ops.metric_kernels import (
+        _plan,
+        chol_bundle_pallas,
+        fused_supported,
+        hmc_terms_pallas,
+        metric_bundle_pallas,
+    )
+
+    dev = str(jax.devices()[0])
+    log(f"device: {dev}")
+    rows = []
+    for k in K_GRID:
+        metric, z_np = synthetic(k)
+        z = jnp.asarray(z_np)
+        tb, kc = _plan(B, 16, k, None)
+        tb_hmc, kc_hmc = _plan(B, 16, k, None, n_m=2)
+        n = 20 if k <= 5000 else 8
+        row = {
+            "k": k,
+            "batch": B,
+            "fused_supported": bool(fused_supported(metric)),
+            "plan": {"tb": tb, "kc": kc},
+            "plan_hmc": {"tb": tb_hmc, "kc": kc_hmc},
+        }
+        for name, fn in (
+            ("chol_bundle", chol_bundle_pallas),
+            ("bundle", metric_bundle_pallas),
+            ("hmc_terms", hmc_terms_pallas),
+        ):
+            t = bench(fn, metric, z, n=n)
+            row[name] = {"s": t, "evals_per_s": B / t}
+            log(f"K={k:6d} {name:12s}: {t * 1e6:9.1f} us -> {B / t:.3e} evals/s")
+        t_xla = bench(_chol_g_inv_xla, metric, z, n=3, reps=3)
+        row["xla_chol"] = {"s": t_xla, "evals_per_s": B / t_xla}
+        row["fused_vs_xla"] = t_xla / row["chol_bundle"]["s"]
+        log(
+            f"K={k:6d} xla_chol    : {t_xla * 1e6:9.1f} us -> "
+            f"{B / t_xla:.3e} evals/s (fused {row['fused_vs_xla']:.0f}x)"
+        )
+        rows.append(row)
+
+    # regime A/B at K=2000: clamped-resident TB=128 vs forced-chunked TB=512
+    metric, z_np = synthetic(2000)
+    z = jnp.asarray(z_np)
+    t_res = bench(chol_bundle_pallas, metric, z, tb=128)
+    t_kc = bench(chol_bundle_pallas, metric, z, tb=512)
+    regime_ab = {
+        "k": 2000,
+        "resident_tb128_s": t_res,
+        "chunked_tb512_s": t_kc,
+        "chunked_vs_resident": t_res / t_kc,
+    }
+    log(
+        f"K=2000 regime A/B: resident tb=128 {t_res * 1e6:.1f} us, "
+        f"chunked tb=512 {t_kc * 1e6:.1f} us "
+        f"({t_res / t_kc:.2f}x)"
+    )
+
+    OUT.mkdir(parents=True, exist_ok=True)
+    results = {"device": dev, "batch": B, "rows": rows, "regime_ab": regime_ab}
+    (OUT / "results.json").write_text(json.dumps(results, indent=2))
+
+    k20 = rows[-1]
+    lines = [
+        "# Fused metric kernels vs centroid-bank size (real chip)",
+        "",
+        f"Device: {dev}.  Batch {B}, D=16, median-of-reps within one process.",
+        "",
+        "| K | plan (tb/kc) | chol evals/s | bundle evals/s | hmc evals/s | fused vs XLA |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        p = r["plan"]
+        plan = f"{p['tb']}/{p['kc'] or 'resident'}"
+        lines.append(
+            f"| {r['k']} | {plan} | {r['chol_bundle']['evals_per_s']:.2e} "
+            f"| {r['bundle']['evals_per_s']:.2e} "
+            f"| {r['hmc_terms']['evals_per_s']:.2e} "
+            f"| {r['fused_vs_xla']:.0f}x |"
+        )
+    lines += [
+        "",
+        "The round-4 RESIDENT kernels' real envelope (measured, "
+        "scripts/_probe_k_envelope.py): K=2000 compiled only at TB<=128, "
+        "K=5000 not at all, and the HMC kernel (two [D^2, K] slabs) failed "
+        "already at K=2000 — `fused_supported` overstated support by ~5x. "
+        "The K-CHUNKED kernels (round 5) stream the bank from HBM through a "
+        "second grid axis with VMEM scratch accumulation, making VMEM use "
+        "K-independent: every K above now runs fused, and the auto plan "
+        "(`_plan`) picks the regime from the measured envelope.",
+        "",
+        f"At K=20,000 (100x the flagship bank) the chol bundle still runs "
+        f"{k20['fused_vs_xla']:.0f}x faster than the XLA fallback "
+        f"({k20['chol_bundle']['evals_per_s']:.2e} vs "
+        f"{k20['xla_chol']['evals_per_s']:.2e} evals/s). The dense "
+        "single-chip path no longer *breaks* at large K — it stays fused and "
+        "HBM-streamed; the EP-sharded bank (parallel/metric_parallel.py) "
+        "remains the capacity/throughput axis once the bank or its traffic "
+        "outgrows one chip's HBM.",
+        "",
+        f"Regime A/B at K=2000: chunked TB=512 vs clamped-resident TB=128 = "
+        f"{regime_ab['chunked_vs_resident']:.2f}x "
+        "(auto plan keeps whichever the envelope allows; explicit TB "
+        "overrides route out-of-envelope shapes to the chunked kernel "
+        "instead of failing Mosaic allocation).",
+    ]
+    (OUT / "SUMMARY.md").write_text("\n".join(lines) + "\n")
+    log(f"wrote {OUT}/results.json and SUMMARY.md")
+
+
+if __name__ == "__main__":
+    main()

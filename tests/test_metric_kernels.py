@@ -173,3 +173,97 @@ def test_bundle_mxu_distance_arm_parity():
         np.asarray(a.logdet_g_inv), np.asarray(b.logdet_g_inv), atol=2e-4
     )
     np.testing.assert_allclose(np.asarray(a.g), np.asarray(b.g), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# K-chunked regime (large centroid banks)
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_metric(k, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    c = rng.normal(size=(k, d)).astype(np.float32)
+    a = np.eye(d, dtype=np.float32)[None].repeat(k, 0)
+    a += 0.1 * rng.normal(size=(k, d, d)).astype(np.float32)
+    m = np.einsum("kij,klj->kil", a, a)  # SPD
+    metric = CentroidMetric.create(c, m, temperature=0.5, regularization=0.01)
+    idx = rng.integers(0, k, size=37)  # unaligned batch exercises padding
+    z = jnp.asarray(c[idx] + 0.1 * rng.normal(size=(37, d)), jnp.float32)
+    return metric, z
+
+
+def test_plan_envelope():
+    """The kernel plan must honor the envelope MEASURED on the chip
+    (scripts/_probe_k_envelope.py): at D=16, K=2000 compiles only at
+    TB<=128 resident; K=5000 needs the chunked kernel; the HMC kernels
+    carry two matrix slabs and chunk already at K=2000."""
+    from rlvae_tpu.ops.metric_kernels import _plan
+
+    assert _plan(8192, 16, 200, None) == (512, None)        # small bank: as before
+    tb, kc = _plan(8192, 16, 2000, None)
+    assert (tb, kc) == (128, None)                           # clamped resident
+    tb, kc = _plan(8192, 16, 2000, 512)                      # explicit big TB
+    assert kc is not None                                    # -> chunked
+    tb, kc = _plan(8192, 16, 5000, None)
+    assert kc is not None                                    # beyond resident
+    tb, kc = _plan(8192, 16, 2000, None, n_m=2)              # HMC: 2 slabs
+    assert kc is not None
+    # chunked TB stays bounded (the [KC, TB] temporaries own VMEM)
+    assert _plan(65536, 16, 50000, None)[0] <= 512
+
+
+def test_chunked_kernels_match_xla():
+    """Every chunked kernel (forced via an out-of-envelope explicit TB at
+    K=2000) must match the XLA reference path at fp32 accuracy, including
+    the non-2^n bank padding and the accumulate-then-epilogue split."""
+    from rlvae_tpu.geometry import metric as gm
+    from rlvae_tpu.ops.metric_kernels import (
+        chol_bundle_pallas,
+        hmc_partials_pallas,
+    )
+
+    metric, z = _synthetic_metric(2000)
+    out = metric_bundle_pallas(metric, z, tb=512, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out.g_inv), np.asarray(g_inv(metric, z)), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.chol_g_inv), np.asarray(chol_g_inv(metric, z)),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.logdet_g_inv), np.asarray(logdet_g_inv(metric, z)),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.g), np.asarray(g(metric, z)), rtol=1e-5, atol=1e-5)
+    cb = chol_bundle_pallas(metric, z, tb=512, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(cb.chol_g_inv), np.asarray(chol_g_inv(metric, z)),
+        rtol=1e-5, atol=1e-5)
+    gi = g_inv_pallas(metric, z, tb=512, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(gi), np.asarray(g_inv(metric, z)), rtol=1e-5, atol=1e-6)
+    lp, gr = hmc_terms_pallas(metric, z, tb=512, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(lp), np.asarray(log_sqrt_det_g_inv(metric, z)),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gr), np.asarray(grad_log_sqrt_det_g_inv(metric, z)),
+        rtol=1e-5, atol=1e-5)
+    gi_p, v_p = hmc_partials_pallas(metric, z, tb=512, interpret=True)
+    gi_ref = g_inv(metric, z) - metric.regularization * jnp.eye(16)
+    np.testing.assert_allclose(
+        np.asarray(gi_p), np.asarray(gi_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_supported_k_unbounded():
+    """Large-K banks stay on the fused path (chunked regime); only large
+    latent dims fall back to XLA."""
+    from rlvae_tpu.ops.metric_kernels import fused_supported
+
+    big_k, _ = _synthetic_metric(3000, d=16)
+    assert fused_supported(big_k)
+    big_d = CentroidMetric.create(
+        np.zeros((4, 48), np.float32),
+        np.eye(48, dtype=np.float32)[None].repeat(4, 0),
+        temperature=0.5, regularization=0.01,
+    )
+    assert not fused_supported(big_d)
