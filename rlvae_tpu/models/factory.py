@@ -75,8 +75,10 @@ def create_model(config: Mapping[str, Any], name: Optional[str] = None) -> RlVAE
         # -2.0 reproduces the reference init (exp(1.5)/block amplification at
         # epoch 0); 0.0 opts into near-identity flows with bounded latents
         flow_log_var_bias_init=float(config.get("flow_log_var_bias_init", -2.0)),
-        # HBM-traffic knob: checkpointed decode+MSE (see RlVAE.remat_decode)
+        # HBM-traffic knobs: checkpointed decode+MSE (RlVAE.remat_decode)
+        # and the fused Pallas decode+MSE kernel (RlVAE.fused_decode_mse)
         remat_decode=bool(config.get("remat_decode", False)),
+        fused_decode_mse=bool(config.get("fused_decode_mse", False)),
         encoder_config=_node(config, "encoder"),
         decoder_config=_node(config, "decoder"),
         pretrained_encoder_path=_resolve_artifact(

@@ -31,6 +31,7 @@ from rlvae_tpu.geometry import load_metric
 from rlvae_tpu.geometry.metric import CentroidMetric
 from rlvae_tpu.models import losses
 from rlvae_tpu.nets import create_decoder, create_encoder
+from rlvae_tpu.nets.mlp import MLPDecoder
 from rlvae_tpu.samplers import (
     HMCConfig,
     reparam,
@@ -70,6 +71,7 @@ class RlVAE:
         flow_fixedpoint_iters: int = 0,
         flow_loss_mode: str = "reference",
         remat_decode: bool = False,
+        fused_decode_mse: bool = False,
         encoder_config: Optional[Mapping[str, Any]] = None,
         decoder_config: Optional[Mapping[str, Any]] = None,
         metric: Optional[CentroidMetric] = None,
@@ -102,6 +104,13 @@ class RlVAE:
         # backward — recon never persists in HBM.  Loss-value identical;
         # off by default (parity preset untouched).
         self.remat_decode = bool(remat_decode)
+        # strictly-stronger HBM knob: a Pallas kernel computes the final
+        # decoder matmul + sigmoid + MSE reduction per VMEM tile with an
+        # exact custom VJP (ops/recon_kernels.py), so NO recon-sized tensor
+        # ever reaches HBM — remat_decode still writes the pre-activation
+        # and cotangent each pass.  MLP decoders only; falls back to the
+        # remat/plain path otherwise.  Off by default (parity untouched).
+        self.fused_decode_mse = bool(fused_decode_mse)
         self.name = name
 
         self.encoder = create_encoder(self.input_dim, latent_dim, encoder_config)
@@ -307,13 +316,25 @@ class RlVAE:
             z_seq = z_seq.at[:, -1].set(z_seq[:, 0])
 
         z_flat = z_seq.reshape(batch_size * n_obs, self.latent_dim)
+        # fused path: MLP decoders without dropout/BN only (the kernel owns
+        # the final Dense -> sigmoid -> MSE; hidden layers are recomputed
+        # with identical nn.Dense bf16 semantics in _fused_recon_loss)
+        use_fused = (
+            self.fused_decode_mse and train
+            and isinstance(self.decoder, MLPDecoder)
+            and self.decoder.dropout == 0
+            and not variables.get("stats", {}).get("decoder")
+        )
         # remat only when the decoder carries no BN stats (stats come from
         # the plain decode, which would otherwise stay live and double the
         # decode cost)
         use_remat = (
-            self.remat_decode and train
+            not use_fused
+            and self.remat_decode and train
             and not variables.get("stats", {}).get("decoder")
         )
+        if use_fused:
+            recon_loss = self._fused_recon_loss(variables, z_flat, x)
         if use_remat:
             def _dec_loss(dec_params, z_flat_, x_):
                 vs = {"params": {**variables["params"], "decoder": dec_params},
@@ -331,7 +352,7 @@ class RlVAE:
         dec_out, dec_updates = self.decode(variables, z_flat, train=train, rng=k_drop_dec)
         recon = dec_out.reconstruction.reshape(batch_size, n_obs, *self.input_dim)
 
-        if not use_remat:
+        if not (use_remat or use_fused):
             recon_loss = losses.reconstruction_loss(recon, x, self.loop_mode)
 
         if self.posterior_type == "riemannian_metric" and self.metric is not None:
@@ -367,6 +388,36 @@ class RlVAE:
                 x, recon, z_seq, self.metric if self.use_riemannian else None
             )
         return out
+
+    def _fused_recon_loss(
+        self, variables: Dict[str, Any], z_flat: Array, x: Array
+    ) -> Array:
+        """Reconstruction loss via the fused Pallas decode+MSE kernel.
+
+        Recomputes the MLP decoder's hidden stack with nn.Dense's exact
+        dtype semantics (inputs and params cast to ``decoder.dtype``), then
+        hands the final Dense's weights plus the flattened targets to
+        ops/recon_kernels.decode_mse.  Row weights fold the closed-loop
+        frame-0 double count and the 1/B batch mean
+        (reference: riemannian_flow_vae.py:1192-1197)."""
+        from rlvae_tpu.ops.recon_kernels import decode_mse
+
+        dec = variables["params"]["decoder"]
+        dt = self.decoder.dtype
+        h = z_flat.astype(dt)
+        for i in range(len(self.decoder.hidden_dims)):
+            p = dec[f"hidden_{i}"]
+            h = jax.nn.relu(
+                jnp.dot(h, p["kernel"].astype(dt)) + p["bias"].astype(dt)
+            )
+        batch_size, n_obs = x.shape[0], x.shape[1]
+        w_t = jnp.ones((n_obs,), jnp.float32)
+        if self.loop_mode == "closed":
+            w_t = w_t.at[0].set(2.0)
+        rw = jnp.tile(w_t, batch_size) / batch_size  # rows are [b*T + t]
+        x_flat = x.reshape(batch_size * n_obs, -1)
+        out_p = dec["out"]
+        return decode_mse(h, out_p["kernel"], out_p["bias"], x_flat, rw)
 
     __call__ = forward
 

@@ -394,6 +394,54 @@ def test_remat_decode_exact_parity():
     assert _cm(d).remat_decode is True
 
 
+def test_fused_decode_mse_matches_plain():
+    """fused_decode_mse (the stronger HBM knob: Pallas final-Dense + sigmoid
+    + MSE with exact custom VJP, ops/recon_kernels.py — no recon-sized HBM
+    tensor at all): loss and grads must match the plain path within the
+    kernel's bf16-MXU tolerance; closed-loop frame-0 weighting included.
+
+    Near-identity flow init keeps z bounded: under the reference's
+    amplifying init the sigmoid saturates and its derivative s(1-s) ~
+    e^{-|pre|} becomes exponentially sensitive to ANY bf16 rounding of the
+    pre-activation, so no finite tolerance separates correct from broken
+    there — the knob targets the stable preset, which is bounded."""
+    common = dict(
+        posterior_type="gaussian", sampling_method="standard",
+        use_riemannian=False, flow_log_var_bias_init=0.0,
+    )
+    x = _batch()
+    key = jax.random.PRNGKey(1)
+    for loop in ("open", "closed"):
+        extra = dict(loop_mode=loop, loop_penalty=1.0) if loop == "closed" else {}
+        m0 = RlVAE(**SMALL, **common, **extra)
+        m1 = RlVAE(**SMALL, **common, fused_decode_mse=True, **extra)
+        variables = m0.init(jax.random.PRNGKey(0))
+
+        def loss(model, p):
+            return model.forward(
+                dict(variables, params=p), x, key, train=True).loss
+
+        l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(variables["params"])
+        l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(variables["params"])
+        assert abs(float(l0) - float(l1)) / abs(float(l0)) < 5e-3
+        rel = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b)))
+            / (float(jnp.max(jnp.abs(a))) + 1e-6),
+            g0, g1)
+        assert max(jax.tree_util.tree_leaves(rel)) < 5e-2
+        # eval path (train=False) is untouched: identical recon_x
+        o0 = m0.forward(variables, x, key, train=False)
+        o1 = m1.forward(variables, x, key, train=False)
+        assert bool(jnp.all(o0.recon_x == o1.recon_x))
+    # factory plumbing
+    from rlvae_tpu.models.factory import create_model as _cm
+
+    cfg = compose(CONF, overrides=["model=riemannian_flow_vae_stable"])
+    d = cfg.model.to_dict()
+    d["fused_decode_mse"] = True
+    assert _cm(d).fused_decode_mse is True
+
+
 def test_init_tolerates_missing_pretrained_files(capsys):
     """A config pointing at nonexistent pretrained artifacts must warn and
     train from scratch — the reference's loader degrades on ANY failure
