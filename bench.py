@@ -232,6 +232,26 @@ def main():
             f"({rate_c / rate:.2f}x)"
         )
 
+    # --- K-scaling spot check: the chunked-regime kernel at 100x the bank ---
+    # (full curve + regime evidence: scripts/bench_k_scaling.py ->
+    # outputs/k_scaling/; the XLA fallback OOMs single-chip HBM here)
+    from rlvae_tpu.geometry.metric import CentroidMetric
+
+    k20 = 20000
+    c20 = rng.normal(size=(k20, 16)).astype(np.float32)
+    a20 = np.eye(16, dtype=np.float32)[None].repeat(k20, 0)
+    a20 += 0.1 * rng.normal(size=(k20, 16, 16)).astype(np.float32)
+    metric20 = CentroidMetric.create(
+        c20, np.einsum("kij,klj->kil", a20, a20),
+        temperature=0.5, regularization=0.01)
+    z20 = jnp.asarray(
+        c20[rng.integers(0, k20, size=8192)]
+        + 0.1 * rng.normal(size=(8192, 16)), jnp.float32)
+    t_k20 = bench(chol_bundle_pallas, metric20, z20, n=8)
+    rate_k20 = 8192 / t_k20
+    log(f"chol bundle K=20000 B=8192: {t_k20 * 1e6:.1f} us -> "
+        f"{rate_k20:.3e} evals/s (chunked regime)")
+
     # --- HMC chain throughput (official prior chain, fused kernel) ----------
     n_chains = 256
     cfg = HMCConfig(mcmc_steps=20, n_lf=15)
@@ -456,6 +476,7 @@ def main():
         "bundle_binding_resource": mdl_full["binding"],
         "bundle_composite_util_pct": round(util_full, 1),
         "chol_bundle_evals_per_s": round(best_chol, 1),
+        "chol_bundle_evals_per_s_k20000": round(rate_k20, 1),
         "chol_bundle_vs_full": round(best_chol / best, 2),
         "chol_bundle_composite_util_pct": round(util_chol, 1),
         "train_step_mfu_bf16_pct": round(step_mfu[64], 2),

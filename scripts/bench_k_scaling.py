@@ -107,13 +107,34 @@ def main():
             t = bench(fn, metric, z, n=n)
             row[name] = {"s": t, "evals_per_s": B / t}
             log(f"K={k:6d} {name:12s}: {t * 1e6:9.1f} us -> {B / t:.3e} evals/s")
-        t_xla = bench(_chol_g_inv_xla, metric, z, n=3, reps=3)
-        row["xla_chol"] = {"s": t_xla, "evals_per_s": B / t_xla}
-        row["fused_vs_xla"] = t_xla / row["chol_bundle"]["s"]
-        log(
-            f"K={k:6d} xla_chol    : {t_xla * 1e6:9.1f} us -> "
-            f"{B / t_xla:.3e} evals/s (fused {row['fused_vs_xla']:.0f}x)"
-        )
+        # XLA fallback materializes [B, K, D]-broadcast intermediates, so at
+        # large K it OOMs single-chip HBM outright (measured: 19.5 GB asked
+        # of 15.75 GB at K=20000, B=8192) — degrade the arm's batch until it
+        # fits and compare RATES; record the largest batch that ran.
+        b_xla, t_xla = B, None
+        while b_xla >= 128:
+            try:
+                t_xla = bench(_chol_g_inv_xla, metric,
+                              jnp.asarray(z_np[:b_xla]), n=3, reps=3)
+                break
+            except Exception as e:  # noqa: BLE001 — XLA OOM is a RuntimeError
+                log(f"K={k:6d} xla_chol    : OOM at B={b_xla} "
+                    f"({str(e).splitlines()[0][:80]}); halving")
+                b_xla //= 2
+        if t_xla is None:
+            row["xla_chol"] = {"oom_at_all_batches": True}
+            row["fused_vs_xla"] = float("inf")
+        else:
+            rate = b_xla / t_xla
+            row["xla_chol"] = {
+                "s": t_xla, "evals_per_s": rate, "batch": b_xla,
+                "oom_at_full_batch": b_xla != B,
+            }
+            row["fused_vs_xla"] = row["chol_bundle"]["evals_per_s"] / rate
+            log(
+                f"K={k:6d} xla_chol    : {t_xla * 1e6:9.1f} us @B={b_xla} -> "
+                f"{rate:.3e} evals/s (fused {row['fused_vs_xla']:.0f}x)"
+            )
         rows.append(row)
 
     # regime A/B at K=2000: clamped-resident TB=128 vs forced-chunked TB=512
@@ -169,7 +190,12 @@ def main():
         f"At K=20,000 (100x the flagship bank) the chol bundle still runs "
         f"{k20['fused_vs_xla']:.0f}x faster than the XLA fallback "
         f"({k20['chol_bundle']['evals_per_s']:.2e} vs "
-        f"{k20['xla_chol']['evals_per_s']:.2e} evals/s). The dense "
+        f"{k20['xla_chol'].get('evals_per_s', 0):.2e} evals/s"
+        + (f", and the XLA arm only fits at B={k20['xla_chol']['batch']} — "
+           f"at the fused arm's B={B} it OOMs single-chip HBM outright, "
+           "19.5 GB of [B, K, D]-broadcast intermediates asked of 15.75 GB"
+           if k20["xla_chol"].get("oom_at_full_batch") else "")
+        + "). The dense "
         "single-chip path no longer *breaks* at large K — it stays fused and "
         "HBM-streamed; the EP-sharded bank (parallel/metric_parallel.py) "
         "remains the capacity/throughput axis once the bank or its traffic "
