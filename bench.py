@@ -89,7 +89,7 @@ def bundle_resource_model(k_pad: int, d: int, outputs: str = "full") -> dict:
 def step_composite_ceiling_ms(b, input_dim, latent, t, flow_hid,
                               flow_blocks, flow_hidden_layers, enc_hid=512,
                               direction="density", out_bytes=4,
-                              remat=False):
+                              remat=False, fused=False):
     """Tile-fill-adjusted composite ceiling for ONE train step (the bundle
     kernel's roofline methodology applied to the whole step, VERDICT r4
     item 1).  Three terms, ceiling = max (matmul DMA and compute pipeline
@@ -132,10 +132,18 @@ def step_composite_ceiling_ms(b, input_dim, latent, t, flow_hid,
         t_mxu += t_mm(k, m, n)          # dW: contract batch, emit [k, n]
     if remat:  # decoder forward recomputed inside the backward
         t_mxu += t_mm(bt, latent, enc_hid) + t_mm(bt, enc_hid, pix)
+    if fused:  # decode_mse VJP: dh and dw kernels each recompute the
+        # final-matmul forward in VMEM (ops/recon_kernels.py)
+        t_mxu += 2 * t_mm(bt, enc_hid, pix)
 
-    recon_passes = 4 if remat else 6
+    # recon-sized [B*T, pix] HBM passes: 6 plain (fwd write + loss read +
+    # bwd read + cotangent write/read x2), 4 under remat_decode, 0 under the
+    # fused decode+MSE kernel (the recon never exists in HBM; instead x
+    # itself is read by each of the 3 Pallas calls, not 2)
+    recon_passes = 0 if fused else (4 if remat else 6)
+    x_passes = 3 if fused else 2
     hbm = (
-        2 * bt * pix * 4            # x read: loss + backward
+        x_passes * bt * pix * 4     # x read: loss + backward kernels
         + 2 * b * pix * 4           # encoder input: fwd + dW
         + recon_passes * bt * pix * out_bytes
         + 4 * bt * enc_hid * 2      # decoder hidden activations (bf16)
@@ -340,6 +348,25 @@ def main():
             f"stable step, {step_ms[b] / harvest_ms[b]:.2f}x the density step)"
         )
 
+    # --- fused decode+MSE Pallas kernel (ops/recon_kernels.py): the recon
+    # never exists in HBM — the strongest byte harvest.  Exact custom VJP;
+    # chip-verified loss rel 7e-8 / grad reldiff 6e-5 vs the plain path ----
+    fused_over = dict(
+        flow_direction="sampling", flow_loss_mode="volume",
+        flow_log_var_bias_init=0.0, fused_decode_mse=True,
+        decoder_config={"out_dtype": "bfloat16"},
+    )
+    fused_ms = {}
+    for b, reps in ((512, 10), (4096, 4)):
+        fused_ms[b] = measure_train_step(metric, batch=b, reps=reps,
+                                         **fused_over)
+        log(
+            f"fused train step B={b} (stable + Pallas decode+sigmoid+MSE, "
+            f"recon never in HBM): {fused_ms[b]:.2f} ms "
+            f"({harvest_ms[b] / fused_ms[b]:.2f}x the remat harvest step, "
+            f"{step_ms[b] / fused_ms[b]:.2f}x the density step)"
+        )
+
     # --- composite step ceiling (tile-fill-adjusted MXU + minimal HBM +
     # VPU; see step_composite_ceiling_ms) and achieved-vs-ceiling ---------
     shapes = ((3, 64, 64), 16, 8, 256, 2, 3)
@@ -347,17 +374,21 @@ def main():
     ceil_stable = step_composite_ceiling_ms(4096, *shapes, direction="sampling")
     ceil_harvest = step_composite_ceiling_ms(
         4096, *shapes, direction="sampling", out_bytes=2, remat=True)
+    ceil_fused = step_composite_ceiling_ms(
+        4096, *shapes, direction="sampling", out_bytes=2, fused=True)
     pct_density = 100.0 * ceil_density["ceiling_ms"] / step_ms[4096]
     pct_stable = 100.0 * ceil_stable["ceiling_ms"] / stable_ms[4096]
     pct_harvest = 100.0 * ceil_harvest["ceiling_ms"] / harvest_ms[4096]
+    pct_fused = 100.0 * ceil_fused["ceiling_ms"] / fused_ms[4096]
     log(
         "step composite ceiling @B=4096: density "
         f"{ceil_density['ceiling_ms']:.1f} ms ({ceil_density['binding']}-bound"
         f", achieved {pct_density:.0f}%), stable "
         f"{ceil_stable['ceiling_ms']:.1f} ms ({ceil_stable['binding']}, "
         f"{pct_stable:.0f}%), harvest {ceil_harvest['ceiling_ms']:.1f} ms "
-        f"({ceil_harvest['binding']}, {pct_harvest:.0f}%) — terms "
-        f"{ceil_harvest['times_ms']}"
+        f"({ceil_harvest['binding']}, {pct_harvest:.0f}%), fused "
+        f"{ceil_fused['ceiling_ms']:.1f} ms ({ceil_fused['binding']}, "
+        f"{pct_fused:.0f}%) — fused terms {ceil_fused['times_ms']}"
     )
 
     # --- TPU-shaped config (VERDICT r4 item 2): latent 128 / flow hidden
@@ -461,7 +492,11 @@ def main():
         "Harvest: bf16 reconstructions + checkpointed decode+MSE "
         f"(bit-exact) -> {stable_ms[4096] / harvest_ms[4096]:.2f}x the "
         f"stable step / {step_ms[4096] / harvest_ms[4096]:.2f}x the density "
-        f"step at B=4096, {pct_harvest:.0f}% of the composite step ceiling. "
+        f"step at B=4096, {pct_harvest:.0f}% of the composite step ceiling; "
+        "the fused Pallas decode+sigmoid+MSE kernel (recon never in HBM, "
+        f"exact custom VJP) -> {harvest_ms[4096] / fused_ms[4096]:.2f}x "
+        f"further ({step_ms[4096] / fused_ms[4096]:.2f}x the density step, "
+        f"{pct_fused:.0f}% of its ceiling). "
         "The TPU-shaped config (latent 128, flow hidden 512) runs "
         f"{tpu_mfu[4096]:.1f}% MFU of its own flops at B=4096 — width "
         "helps only once the byte bottleneck is off the table."
@@ -501,9 +536,17 @@ def main():
             stable_ms[4096] / harvest_ms[4096], 2),
         "harvest_vs_density_speedup_b4096": round(
             step_ms[4096] / harvest_ms[4096], 2),
+        "fused_step_ms_b512": round(fused_ms[512], 2),
+        "fused_step_ms_b4096": round(fused_ms[4096], 2),
+        "fused_vs_harvest_speedup_b4096": round(
+            harvest_ms[4096] / fused_ms[4096], 2),
+        "fused_vs_density_speedup_b4096": round(
+            step_ms[4096] / fused_ms[4096], 2),
         "step_ceiling_ms_b4096_harvest": round(ceil_harvest["ceiling_ms"], 2),
-        "step_ceiling_binding_resource": ceil_harvest["binding"],
-        "step_pct_of_composite_ceiling": round(pct_harvest, 1),
+        "step_ceiling_ms_b4096_fused": round(ceil_fused["ceiling_ms"], 2),
+        "step_ceiling_binding_resource": ceil_fused["binding"],
+        "step_pct_of_composite_ceiling": round(pct_fused, 1),
+        "step_pct_of_ceiling_harvest": round(pct_harvest, 1),
         "step_pct_of_ceiling_density": round(pct_density, 1),
         "step_pct_of_ceiling_stable": round(pct_stable, 1),
         "tpu_shaped_step_ms_b512": round(tpu_ms[512], 2),
