@@ -314,6 +314,22 @@ def test_stable_preset_composes():
     assert model.metric is not None  # same pretrained metric wiring
 
 
+def test_fast_preset_composes():
+    """model=riemannian_flow_vae_fast layers the chip-measured HBM harvest
+    (fused Pallas decode+MSE + bf16 recon, bench fused_step_ms_b4096) on the
+    stable preset; everything else identical to the stable surface."""
+    cfg = compose(CONF, overrides=["model=riemannian_flow_vae_fast"])
+    model = create_model(cfg.model.to_dict())
+    assert model.fused_decode_mse is True
+    assert model.flow_loss_mode == "volume"  # stable-preset base
+    assert model.flow_config.log_var_bias_init == 0.0
+    assert model.n_flows == 8 and model.riemannian_beta == 8.0
+    assert model.metric is not None
+    # bf16 recon knob reached the decoder (forward-path coverage:
+    # test_bf16_recon_dtype_option / test_fused_decode_mse_matches_plain)
+    assert model.decoder.out_dtype == jnp.bfloat16
+
+
 def test_bf16_recon_dtype_option():
     """HBM-traffic knob (nets `out_dtype: bfloat16`): the recon tensor — the
     largest array the train step touches, and the step is HBM-bound on TPU
