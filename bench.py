@@ -72,15 +72,19 @@ def bundle_resource_model(k_pad: int, d: int, outputs: str = "full") -> dict:
     t_vpu = vpu / V5E_VPU_FLOPS
     t_mxu = mxu / V5E_PEAK_BF16_FLOPS
     t_hbm = hbm / V5E_HBM_BYTES_PER_S
-    # the three resources issue from one core without perfect overlap ->
-    # serial-issue composite; the binding resource is the largest term
-    t_total = t_vpu + t_mxu + t_hbm
+    # two bounds bracket the kernel: the OVERLAP ceiling assumes VPU/MXU/DMA
+    # pipeline perfectly (time = largest term — a true upper bound on
+    # throughput), the SERIAL floor assumes zero overlap (time = sum).  The
+    # honest slope-timed kernels land between them (round 5 measured the
+    # full bundle ABOVE the serial figure — the units do overlap), so
+    # utilization is reported against the overlap ceiling.
     times = {"vpu": t_vpu, "mxu": t_mxu, "hbm": t_hbm}
     return {
         "vpu_flops": vpu,
         "mxu_flops": mxu,
         "hbm_bytes": hbm,
-        "ceiling_evals_per_s": 1.0 / t_total,
+        "ceiling_evals_per_s": 1.0 / max(times.values()),
+        "serial_floor_evals_per_s": 1.0 / sum(times.values()),
         "binding": max(times, key=times.get),
         "times": times,
     }
@@ -191,6 +195,13 @@ def log(msg):
 
 
 def bench(fn, *args, n=100, reps=3):
+    """Eager-loop timing — ONLY for multi-dispatch paths where the per-call
+    dispatch cost is part of what's measured (e.g. the torch comparator).
+    Device-kernel and train-step numbers use the slope timers below: on
+    this harness `block_until_ready` can return before the device ran an
+    eagerly dispatched op (fast-lottery processes measure the ~30 us RPC
+    enqueue rate), while other processes pay a flat ~ms..30 ms RPC per
+    program execution — see utils/profiling.fori_slope_time."""
     import jax
 
     for _ in range(5):
@@ -204,6 +215,49 @@ def bench(fn, *args, n=100, reps=3):
         jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) / n)
     return float(np.median(times))
+
+
+def kernel_slope_s(fn, metric, b, rng, reps=5, m_inputs=8):
+    """Per-call DEVICE seconds of ``fn(metric, z)`` at batch ``b`` —
+    dispatch-invariant (fori_loop slope over a staged stack of distinct z;
+    one compile)."""
+    import jax.numpy as jnp
+    from jax.tree_util import tree_leaves
+
+    from rlvae_tpu.utils.profiling import auto_slope_time
+
+    cents = np.asarray(metric.centroids)
+    idx = rng.integers(0, metric.n_centroids, size=(m_inputs, b))
+    zs = jnp.asarray(
+        cents[idx] + 0.1 * rng.normal(size=(m_inputs, b, metric.latent_dim)),
+        jnp.float32)
+
+    def body(i, acc):
+        out = fn(metric, zs[i % m_inputs])
+        return acc + sum(jnp.sum(l).astype(jnp.float32)
+                         for l in tree_leaves(out))
+
+    t, _ = auto_slope_time(body, jnp.zeros((), jnp.float32), reps=reps)
+    return t
+
+
+def fn_slope_s(fn_of_key, key, n_small=2, reps=3):
+    """Per-call DEVICE seconds of a key-consuming fn (HMC chains) —
+    dispatch-invariant (fori_loop slope over folded keys; one compile)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.tree_util import tree_leaves
+
+    from rlvae_tpu.utils.profiling import auto_slope_time
+
+    def body(i, acc):
+        out = fn_of_key(jax.random.fold_in(key, i))
+        return acc + sum(jnp.sum(l).astype(jnp.float32)
+                         for l in tree_leaves(out))
+
+    t, _ = auto_slope_time(body, jnp.zeros((), jnp.float32),
+                           n_small=n_small, reps=reps)
+    return t
 
 
 def main():
@@ -224,14 +278,10 @@ def main():
     best = 0.0
     best_chol = 0.0
     for b in (64, 1024, 8192, 65536):
-        idx = rng.integers(0, metric.n_centroids, size=b)
-        z = jnp.asarray(
-            np.asarray(metric.centroids)[idx] + 0.1 * rng.normal(size=(b, 16)), jnp.float32
-        )
-        t = bench(metric_bundle_pallas, metric, z)
+        t = kernel_slope_s(metric_bundle_pallas, metric, b, rng)
         rate = b / t
         best = max(best, rate)
-        t_c = bench(chol_bundle_pallas, metric, z)
+        t_c = kernel_slope_s(chol_bundle_pallas, metric, b, rng)
         rate_c = b / t_c
         best_chol = max(best_chol, rate_c)
         log(
@@ -252,10 +302,8 @@ def main():
     metric20 = CentroidMetric.create(
         c20, np.einsum("kij,klj->kil", a20, a20),
         temperature=0.5, regularization=0.01)
-    z20 = jnp.asarray(
-        c20[rng.integers(0, k20, size=8192)]
-        + 0.1 * rng.normal(size=(8192, 16)), jnp.float32)
-    t_k20 = bench(chol_bundle_pallas, metric20, z20, n=8)
+    t_k20 = kernel_slope_s(chol_bundle_pallas, metric20, 8192, rng,
+                           reps=3, m_inputs=4)
     rate_k20 = 8192 / t_k20
     log(f"chol bundle K=20000 B=8192: {t_k20 * 1e6:.1f} us -> "
         f"{rate_k20:.3e} evals/s (chunked regime)")
@@ -263,8 +311,9 @@ def main():
     # --- HMC chain throughput (official prior chain, fused kernel) ----------
     n_chains = 256
     cfg = HMCConfig(mcmc_steps=20, n_lf=15)
-    f = jax.jit(lambda key: sample_prior_hmc(metric, key, n_chains, cfg))
-    t_chain = bench(f, jax.random.PRNGKey(0), n=3, reps=3)
+    t_chain = fn_slope_s(
+        lambda key: sample_prior_hmc(metric, key, n_chains, cfg),
+        jax.random.PRNGKey(0))
     leapfrog_per_sec = n_chains * cfg.mcmc_steps * cfg.n_lf / t_chain
     log(
         f"HMC throughput: {cfg.mcmc_steps}x{cfg.n_lf} steps, {n_chains} chains: "
@@ -276,8 +325,9 @@ def main():
     # samplers/manifold_sampler/rhvae_sampler_config.py:24-27, rhvae_sampler.py:100)
     cfg_ref = HMCConfig(mcmc_steps=100, n_lf=15)
     n_ref = 50
-    f_ref = jax.jit(lambda key: sample_prior_hmc(metric, key, n_ref, cfg_ref))
-    t_ref = bench(f_ref, jax.random.PRNGKey(1), n=2, reps=3)
+    t_ref = fn_slope_s(
+        lambda key: sample_prior_hmc(metric, key, n_ref, cfg_ref),
+        jax.random.PRNGKey(1))
     hmc_rate = n_ref * cfg_ref.mcmc_steps * cfg_ref.n_lf / t_ref
     log(
         f"HMC reference shape (100x15, 50 chains): {t_ref:.3f} s/chain-run "
@@ -457,7 +507,8 @@ def main():
     # The kernel is neither purely MXU- nor HBM-bound: the distance loop +
     # unrolled Cholesky/inversion are VPU slab ops, the weighted-sum matmul
     # is 6-pass fp32 MXU work, and the output slabs are HBM writes — all
-    # issuing from one core, modeled as a serial-issue composite.
+    # issuing from one core; the overlap ceiling (largest term) is the
+    # true upper bound, the serial-issue sum the zero-overlap floor.
     k, d = metric.n_centroids, metric.latent_dim
     k_pad = -(-k // 128) * 128
     mdl_full = bundle_resource_model(k_pad, d, "full")
@@ -466,16 +517,19 @@ def main():
     util_chol = 100.0 * best_chol / mdl_chol["ceiling_evals_per_s"]
     tt = mdl_full["times"]
     log(
-        "roofline: bundle composite ceiling "
+        "roofline: bundle overlap ceiling "
         f"{mdl_full['ceiling_evals_per_s']:.2e} evals/s "
-        f"(serial-issue VPU {tt['vpu'] * 1e9:.1f}ns + MXU {tt['mxu'] * 1e9:.1f}ns "
-        f"+ HBM {tt['hbm'] * 1e9:.1f}ns per eval; largest term: "
-        f"{mdl_full['binding']}); measured {util_full:.0f}% of composite"
+        f"(VPU {tt['vpu'] * 1e9:.1f}ns | MXU {tt['mxu'] * 1e9:.1f}ns "
+        f"| HBM {tt['hbm'] * 1e9:.1f}ns per eval; binding: "
+        f"{mdl_full['binding']}; zero-overlap floor "
+        f"{mdl_full['serial_floor_evals_per_s']:.2e}); measured "
+        f"{util_full:.0f}% of the overlap ceiling"
     )
     log(
-        f"roofline: chol-only bundle ceiling {mdl_chol['ceiling_evals_per_s']:.2e} "
-        f"evals/s (largest term: {mdl_chol['binding']}); measured "
-        f"{util_chol:.0f}% of composite; harvest vs full bundle "
+        f"roofline: chol-only bundle overlap ceiling "
+        f"{mdl_chol['ceiling_evals_per_s']:.2e} "
+        f"evals/s (binding: {mdl_chol['binding']}); measured "
+        f"{util_chol:.0f}% of its overlap ceiling; harvest vs full bundle "
         f"{best_chol / best:.2f}x"
     )
     log(
@@ -598,17 +652,45 @@ def measure_train_step(metric, batch=64, reps=20, latent_dim=16,
         np.random.default_rng(0).random((batch, 8, 3, 64, 64), dtype=np.float32)
     )
     key = jax.random.PRNGKey(1)
-    for _ in range(3):
-        v, os_, m = step(v, os_, x, key)
-    jax.block_until_ready(m)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+
+    # dispatch-invariant per-step time: one compiled fori_loop driven at two
+    # dynamic trip counts (state threads through the carry, keys fold per
+    # iteration) — see utils/profiling.fori_slope_time for why plain eager
+    # loops cannot be trusted on this harness.  At B=4096 the while-loop
+    # program crashes the remote compile service, so that shape falls back
+    # to an EAGER dispatch-count slope terminated by a host fetch: the
+    # fetch forces true completion, the slope cancels fixed per-run costs;
+    # the per-dispatch RPC stays in (that is what an eager production loop
+    # pays; the epoch-jit paths amortize it away).
+    if batch <= 512:
+        from rlvae_tpu.utils.profiling import fori_slope_time
+
+        def body(i, carry):
+            vv, oo = carry
+            vv, oo, _m = step(vv, oo, x, jax.random.fold_in(key, i))
+            return (vv, oo)
+
+        t, _ = fori_slope_time(body, (v, os_), n_small=2, n_big=26, reps=5)
+        return t * 1e3
+
+    def run_n(n):
+        vv, oo, m = v, os_, None
+        for i in range(n):
+            vv, oo, m = step(vv, oo, x, jax.random.fold_in(key, i))
+        jax.device_get(m)
+
+    run_n(1)  # compile + settle
+
+    def timed(n, reps=3):
+        ts = []
         for _ in range(reps):
-            v, os_, m = step(v, os_, x, key)
-        jax.block_until_ready(m)
-        times.append((time.perf_counter() - t0) / reps)
-    return float(np.median(times)) * 1e3
+            t0 = time.perf_counter()
+            run_n(n)
+            ts.append(time.perf_counter() - t0)
+        return float(np.min(ts))  # additive noise -> min
+
+    t1, t2 = timed(2), timed(8)
+    return max(t2 - t1, 1e-9) / 6 * 1e3
 
 
 def measure_epoch(metric, n_seqs=100, batch=4, reps=3):
@@ -640,12 +722,16 @@ def measure_epoch(metric, n_seqs=100, batch=4, reps=3):
         rng.permutation(n_seqs)[: steps * batch].reshape(steps, batch).astype(np.int32)
     )
     v, os_, m = epoch_fn(v, os_, data, perm, jax.random.PRNGKey(1))  # compile
-    jax.block_until_ready(m)
+    jax.device_get(m)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         v, os_, m = epoch_fn(v, os_, data, perm, jax.random.PRNGKey(2))
-        jax.block_until_ready(m)
+        # fetch the (tiny) metrics dict: a host round-trip that cannot
+        # complete before the epoch actually ran — block_until_ready alone
+        # can return early on this harness.  Adds ~1 ms of tunnel latency,
+        # which is honest: a real training loop reads its metrics too.
+        jax.device_get(m)
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
@@ -678,7 +764,10 @@ def measure_inference(metric, batch=64, reps=20):
     t0 = time.perf_counter()
     for _ in range(reps):
         out = mm._forward(mm.variables, x, key)
-    jax.block_until_ready(out.recon_x)
+    # scalar host fetch: forces true completion of the whole pipelined loop
+    # (block_until_ready can return early on this harness); costs ~1 ms of
+    # tunnel latency amortized over `reps` dispatches
+    float(jnp.sum(out.recon_x[0, 0, 0, 0]))
     dt = time.perf_counter() - t0
     return batch * reps / dt
 

@@ -41,19 +41,33 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench(fn, *args, n=20, reps=3, **kw):
-    import jax
+def slope_bench(fn, metric, z_np, reps=5, m_inputs=4, **kw):
+    """Dispatch-invariant per-call device seconds of ``fn(metric, z)``.
 
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(*args, **kw)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / n)
-    return float(np.median(times))
+    Round-5 finding (utils/profiling.fori_slope_time): eager-loop timings
+    through this harness measure the RPC path, not the kernel — in
+    fast-lottery processes ``block_until_ready`` returns before the device
+    ran the op (a 13 ms kernel read as 29 us and produced the bogus "flat
+    ~3e8 evals/s" first version of this artifact), in others a flat
+    ~25-30 ms per-program dispatch cost dominates.  The slope of one
+    compiled fori_loop over distinct staged inputs cancels both."""
+    import jax.numpy as jnp
+    from jax.tree_util import tree_leaves
+
+    from rlvae_tpu.utils.profiling import auto_slope_time
+
+    rng = np.random.default_rng(7)
+    zs = jnp.asarray(
+        z_np[None] + 0.05 * rng.normal(size=(m_inputs,) + z_np.shape),
+        jnp.float32)
+
+    def body(i, acc):
+        out = fn(metric, zs[i % m_inputs], **kw)
+        return acc + sum(jnp.sum(l).astype(jnp.float32)
+                         for l in tree_leaves(out))
+
+    t, _ = auto_slope_time(body, jnp.zeros((), jnp.float32), reps=reps)
+    return t
 
 
 def synthetic(k, d=16, seed=0):
@@ -91,7 +105,6 @@ def main():
         z = jnp.asarray(z_np)
         tb, kc = _plan(B, 16, k, None)
         tb_hmc, kc_hmc = _plan(B, 16, k, None, n_m=2)
-        n = 20 if k <= 5000 else 8
         row = {
             "k": k,
             "batch": B,
@@ -104,7 +117,7 @@ def main():
             ("bundle", metric_bundle_pallas),
             ("hmc_terms", hmc_terms_pallas),
         ):
-            t = bench(fn, metric, z, n=n)
+            t = slope_bench(fn, metric, z_np)
             row[name] = {"s": t, "evals_per_s": B / t}
             log(f"K={k:6d} {name:12s}: {t * 1e6:9.1f} us -> {B / t:.3e} evals/s")
         # XLA fallback materializes [B, K, D]-broadcast intermediates, so at
@@ -114,8 +127,8 @@ def main():
         b_xla, t_xla = B, None
         while b_xla >= 128:
             try:
-                t_xla = bench(_chol_g_inv_xla, metric,
-                              jnp.asarray(z_np[:b_xla]), n=3, reps=3)
+                t_xla = slope_bench(_chol_g_inv_xla, metric,
+                                    z_np[:b_xla], reps=3)
                 break
             except Exception as e:  # noqa: BLE001 — XLA OOM is a RuntimeError
                 log(f"K={k:6d} xla_chol    : OOM at B={b_xla} "
@@ -140,8 +153,8 @@ def main():
     # regime A/B at K=2000: clamped-resident TB=128 vs forced-chunked TB=512
     metric, z_np = synthetic(2000)
     z = jnp.asarray(z_np)
-    t_res = bench(chol_bundle_pallas, metric, z, tb=128)
-    t_kc = bench(chol_bundle_pallas, metric, z, tb=512)
+    t_res = slope_bench(chol_bundle_pallas, metric, z_np, tb=128)
+    t_kc = slope_bench(chol_bundle_pallas, metric, z_np, tb=512)
     regime_ab = {
         "k": 2000,
         "resident_tb128_s": t_res,
@@ -162,7 +175,10 @@ def main():
     lines = [
         "# Fused metric kernels vs centroid-bank size (real chip)",
         "",
-        f"Device: {dev}.  Batch {B}, D=16, median-of-reps within one process.",
+        f"Device: {dev}.  Batch {B}, D=16; per-call times are fori-loop "
+        "SLOPES inside one compiled program (dispatch-invariant, distinct "
+        "staged inputs — utils/profiling.auto_slope_time), median-of-reps "
+        "within one process.",
         "",
         "| K | plan (tb/kc) | chol evals/s | bundle evals/s | hmc evals/s | fused vs XLA |",
         "|---|---|---|---|---|---|",

@@ -36,21 +36,6 @@ PEAK = 197e12  # v5e bf16 peak (see bench.py)
 HBM = 819e9
 
 
-def bench(fn, *args, n=10, reps=3):
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / n)
-    return float(np.median(times))
-
-
 def compile_once(jitted, *args):
     """AOT-compile a jitted fn once; reuse for timing AND cost analysis."""
     return jitted.lower(*args).compile()
@@ -105,29 +90,55 @@ def profile_preset(name, model, metric, B, T, latent, rng, results):
 
     grad = jax.jit(jax.grad(loss_fn))
 
+    # per-stage bodies perturb one input by the loop index so nothing is
+    # loop-invariant (XLA would hoist it); timing is the fori-loop SLOPE of
+    # one compiled program (utils/profiling.auto_slope_time) — eager-loop
+    # stage timings through this harness measure the RPC path, not the
+    # device (round-5 finding; the first version of this artifact reported
+    # a 4e11-flop decoder forward at 0.10 ms = 2078% of peak that way).
+    # XLA cost analysis still comes from the stage's own AOT compile.
+    eps = 1e-6
     stage_list = [
-        ("encoder_fwd", enc, (v, x0)),
-        ("decoder_fwd_BT", dec, (v, z_flat)),
-        ("flows_fwd", flows, (v, z0)),
+        ("encoder_fwd", enc, (v, x0),
+         lambda i: enc(v, x0 + eps * i)),
+        ("decoder_fwd_BT", dec, (v, z_flat),
+         lambda i: dec(v, z_flat + eps * i)),
+        ("flows_fwd", flows, (v, z0),
+         lambda i: flows(v, z0 + eps * i)),
     ]
     if metric is not None and model.posterior_type == "riemannian_metric":
         post = jax.jit(lambda kk, mm, lv: sample_metric_aware_posterior(
             metric, kk, mm, lv))
         rkl = jax.jit(lambda zz, mm: losses.riemannian_metric_kl(metric, mm, zz))
         stage_list += [
-            ("posterior_sample", post, (key, mu, log_var)),
-            ("riemannian_kl", rkl, (z0, mu)),
+            ("posterior_sample", post, (key, mu, log_var),
+             lambda i: post(jax.random.fold_in(key, i), mu, log_var)),
+            ("riemannian_kl", rkl, (z0, mu),
+             lambda i: rkl(z0 + eps * i, mu)),
         ]
     stage_list += [
-        ("forward_loss", fwd, (v, x, key)),
-        ("forward_grad", grad, (v["params"], v, x, key)),
+        ("forward_loss", fwd, (v, x, key),
+         lambda i: fwd(v, x, jax.random.fold_in(key, i))),
+        ("forward_grad", grad, (v["params"], v, x, key),
+         lambda i: grad(v["params"], v, x, jax.random.fold_in(key, i))),
     ]
+
+    from jax.tree_util import tree_leaves
+
+    from rlvae_tpu.utils.profiling import auto_slope_time
 
     stages = {}
     costs = {}
-    for sname, fn, args in stage_list:
+    for sname, fn, args, body_i in stage_list:
         c = compile_once(fn, *args)
-        stages[sname] = bench(c, *args) * 1e3
+
+        def body(i, acc, _b=body_i):
+            out = _b(i)
+            return acc + sum(jnp.sum(l).astype(jnp.float32)
+                             for l in tree_leaves(out))
+
+        t, _diag = auto_slope_time(body, jnp.zeros((), jnp.float32), reps=3)
+        stages[sname] = t * 1e3
         costs[sname] = cost(c)
         print(f"  {sname:18s}: {stages[sname]:8.2f} ms "
               + (f"(xla {costs[sname].get('flops', 0):.3e} flops -> "
@@ -141,18 +152,17 @@ def profile_preset(name, model, metric, B, T, latent, rng, results):
     # reuse the returned state so donation doesn't invalidate inputs
     step_c = compile_once(step, v, os_, x, key)
     costs["train_step"] = cost(step_c)
-    v2, os2 = v, os_
-    for _ in range(2):
-        v2, os2, m = step_c(v2, os2, x, key)
-    jax.block_until_ready(m)
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(5):
-            v2, os2, m = step_c(v2, os2, x, key)
-        jax.block_until_ready(m)
-        ts.append((time.perf_counter() - t0) / 5)
-    stages["train_step"] = float(np.median(ts)) * 1e3
+
+    from rlvae_tpu.utils.profiling import fori_slope_time
+
+    def step_body(i, carry):
+        vv, oo = carry
+        vv, oo, _m = step(vv, oo, x, jax.random.fold_in(key, i))
+        return (vv, oo)
+
+    t_step, _ = fori_slope_time(step_body, (v, os_), n_small=2, n_big=6,
+                                reps=3)
+    stages["train_step"] = t_step * 1e3
     print(f"  {'train_step':18s}: {stages['train_step']:8.2f} ms", flush=True)
 
     results[name] = {"batch": B, "t": T, "latent": latent,

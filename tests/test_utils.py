@@ -140,3 +140,47 @@ def test_umap_lite_determinism_and_degenerate_inputs():
     assert umap(np.zeros((3, 4))).shape == (3, 2)  # n <= n_components + 1
     y = umap(np.ones((10, 4)), n_epochs=30)  # identical points: finite
     assert np.isfinite(y).all()
+
+
+def test_scan_slope_time_cancels_dispatch_cost():
+    """scan_slope_time returns per-call device time with the per-dispatch
+    overhead subtracted (the slope of wall-clock vs iteration count), and
+    its diagnostics account for the two program runs it measured."""
+    import jax.numpy as jnp
+
+    from rlvae_tpu.utils.profiling import scan_slope_time
+
+    batches = jnp.arange(24 * 64, dtype=jnp.float32).reshape(24, 64) / 100.0
+    per_call, diag = scan_slope_time(lambda x: jnp.tanh(x), batches,
+                                     m_small=4, reps=2)
+    assert per_call > 0.0
+    assert diag["m_big"] == 24 and diag["m_small"] == 4
+    assert diag["t_big_s"] >= per_call * 24 * 0.5  # slope consistent w/ totals
+    assert diag["dispatch_overhead_s"] >= 0.0
+
+
+def test_scan_slope_time_rejects_tiny_stack():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from rlvae_tpu.utils.profiling import scan_slope_time
+
+    with _pytest.raises(ValueError):
+        scan_slope_time(lambda x: x, jnp.ones((4, 2)), m_small=8)
+
+
+def test_fori_slope_time_one_compile_two_lengths():
+    """fori_slope_time measures a per-iteration slope from one compiled
+    program driven at two dynamic trip counts."""
+    import jax.numpy as jnp
+
+    from rlvae_tpu.utils.profiling import fori_slope_time
+
+    def body(i, carry):
+        return carry + jnp.tanh(carry + i.astype(jnp.float32))
+
+    per_iter, diag = fori_slope_time(body, jnp.float32(0.1),
+                                     n_small=4, n_big=64, reps=2)
+    assert per_iter > 0.0
+    assert diag["t_big_s"] >= diag["t_small_s"] * 0.5
+    assert diag["dispatch_overhead_s"] >= 0.0
